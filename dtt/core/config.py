@@ -1,0 +1,237 @@
+"""Immutable configuration tree.
+
+TPU-native replacement for the reference's mutable global ``easydict`` config
+(ref: lib/model/utils/config.py + cfgs/res101.yml). Frozen dataclasses are
+hashable, so a config can be passed as a ``static_argnum`` to ``jax.jit``
+without tripping retracing or mutability hazards. Defaults mirror the
+reference semantics (anchor scales/ratios, NMS thresholds, RoI batch sizes,
+position-sensitive k=7 grid, correlation d=8/stride 2 — D&T paper §3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+import yaml
+
+
+@dataclass(frozen=True)
+class AnchorConfig:
+    """Anchor lattice (ref: lib/model/rpn/generate_anchors.py defaults)."""
+
+    base_size: int = 16
+    scales: Tuple[float, ...] = (4.0, 8.0, 16.0, 32.0)
+    ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    feat_stride: int = 16
+
+    @property
+    def num_anchors(self) -> int:
+        return len(self.scales) * len(self.ratios)
+
+
+@dataclass(frozen=True)
+class RPNConfig:
+    """RPN head + proposal filtering (ref: lib/model/rpn/{rpn,proposal_layer}.py)."""
+
+    channels: int = 512
+    # Static-shape proposal budget. The reference uses 12000/2000 train and
+    # 6000/300 test; on TPU these are the fixed padded K of every tensor.
+    pre_nms_top_n_train: int = 6000
+    post_nms_top_n_train: int = 2000
+    pre_nms_top_n_test: int = 6000
+    post_nms_top_n_test: int = 300
+    nms_thresh: float = 0.7
+    min_size: float = 16.0
+    # anchor_target_layer sampling (ref: lib/model/rpn/anchor_target_layer.py)
+    batch_size: int = 256
+    fg_fraction: float = 0.5
+    positive_overlap: float = 0.7
+    negative_overlap: float = 0.3
+    clobber_positives: bool = False
+    bbox_inside_weight: float = 1.0
+    positive_weight: float = -1.0  # -1 => uniform 1/num_examples
+
+
+@dataclass(frozen=True)
+class RoIConfig:
+    """Proposal-target sampling + PSRoI heads (ref: proposal_target_layer_cascade.py)."""
+
+    batch_size: int = 128          # sampled RoIs per image
+    fg_fraction: float = 0.25
+    fg_thresh: float = 0.5
+    bg_thresh_hi: float = 0.5
+    bg_thresh_lo: float = 0.0      # reference cfg BG_THRESH_LO=0.0 for VID
+    bbox_normalize_means: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
+    bbox_normalize_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+    bbox_normalize_targets_precomputed: bool = True
+    # Position-sensitive grid (R-FCN k=7; D&T paper §3.1)
+    ps_grid: int = 7
+    pooling_mode: str = "psroi"    # psroi | align | pool | crop (cfg.POOLING_MODE)
+    class_agnostic: bool = True    # R-FCN bbox head is class-agnostic in the lineage
+
+
+@dataclass(frozen=True)
+class TrackConfig:
+    """Cross-frame correlation + tracking head (D&T paper §3.2-3.3)."""
+
+    max_displacement: int = 8
+    stride: int = 2                # displacement stride => (2d/s+1)^2 = 81 channels
+    # feature scales correlated: conv3 (stride 8, pooled to 16), conv4, conv5
+    scales: Tuple[str, ...] = ("c3", "c4", "c5")
+    bbox_normalize_means: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
+    bbox_normalize_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+
+    @property
+    def num_corr_channels(self) -> int:
+        d = 2 * (self.max_displacement // self.stride) + 1
+        return d * d
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    backbone: str = "resnet101"
+    num_classes: int = 31          # ImageNet VID: 30 classes + background
+    reduced_channels: int = 1024   # 1x1 conv after conv5 (R-FCN "new conv")
+    rpn: RPNConfig = field(default_factory=RPNConfig)
+    anchors: AnchorConfig = field(default_factory=AnchorConfig)
+    roi: RoIConfig = field(default_factory=RoIConfig)
+    track: TrackConfig = field(default_factory=TrackConfig)
+    dtype: str = "bfloat16"        # compute dtype for backbone/heads
+    frozen_stages: int = 2         # freeze conv1 + layer1 (R-FCN practice)
+
+
+@dataclass(frozen=True)
+class InputConfig:
+    """Host input pipeline (ref: lib/roi_data_layer/minibatch.py, utils/blob.py)."""
+
+    # Reference: shorter side 600, max 1000. TPU: one fixed padded canvas so
+    # every batch has an identical static shape (multiples of 32 for the
+    # stride-32-free but conv-friendly layout).
+    target_short_side: int = 600
+    canvas_height: int = 608
+    canvas_width: int = 1088
+    pixel_means: Tuple[float, ...] = (102.9801, 115.9465, 122.7717)  # BGR, Caffe
+    use_flipped: bool = True
+    max_gt_boxes: int = 30         # static pad of gt boxes per frame
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer + schedule (ref: trainval_net.py defaults)."""
+
+    learning_rate: float = 1e-3
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    double_bias_lr: bool = True
+    bias_decay: bool = False
+    gamma: float = 0.1             # lr decay factor
+    lr_decay_steps: Tuple[int, ...] = (80000,)
+    clip_gradients: float = 10.0
+    batch_size_per_chip: int = 1   # frame-pairs per chip
+    total_steps: int = 120000
+    ohem: bool = True
+    ohem_top_k: int = 128          # hardest RoIs kept for the cls/box loss
+    seed: int = 3
+    checkpoint_every: int = 5000
+    log_every: int = 100
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    score_thresh: float = 1e-3
+    nms_thresh: float = 0.3
+    max_dets_per_frame: int = 100  # static per-frame detection budget
+    max_per_class: int = 20        # padded per-class detections entering linking
+    tube_score_boost: str = "mean_top_half"  # D&T paper: boost by tube statistic
+    max_tubes_per_class: int = 20
+    link_iou_weight: float = 1.0   # psi(IoU) weight in link score
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    input: InputConfig = field(default_factory=InputConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    exp_name: str = "dtt"
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# YAML + dotted-key overrides (capability parity with cfg_from_file/cfg_from_list)
+# ---------------------------------------------------------------------------
+
+def _dataclass_from_dict(cls, data: dict):
+    """Recursively build a frozen dataclass from a plain dict."""
+    if not dataclasses.is_dataclass(cls):
+        return data
+    kwargs = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    for key, value in data.items():
+        if key not in fields:
+            raise KeyError(f"unknown config key {key!r} for {cls.__name__}")
+        f = fields[key]
+        if dataclasses.is_dataclass(f.type) or (
+            isinstance(f.default_factory, type) and dataclasses.is_dataclass(f.default_factory)
+        ):
+            sub_cls = f.default_factory if f.default_factory is not dataclasses.MISSING else f.type
+            kwargs[key] = _dataclass_from_dict(sub_cls, value)
+        elif isinstance(value, list):
+            kwargs[key] = tuple(value)
+        else:
+            kwargs[key] = value
+    return cls(**kwargs)
+
+
+def _merge_into(obj, data: dict):
+    """Return a copy of frozen dataclass `obj` with dict `data` merged in."""
+    updates = {}
+    fields = {f.name: f for f in dataclasses.fields(obj)}
+    for key, value in data.items():
+        if key not in fields:
+            raise KeyError(f"unknown config key {key!r} for {type(obj).__name__}")
+        current = getattr(obj, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            updates[key] = _merge_into(current, value)
+        elif isinstance(value, dict):
+            raise TypeError(
+                f"config key {key!r} of {type(obj).__name__} is a scalar, "
+                f"cannot assign nested value {value!r}"
+            )
+        elif isinstance(value, list):
+            updates[key] = tuple(value)
+        else:
+            updates[key] = value
+    return dataclasses.replace(obj, **updates)
+
+
+def load_config(yaml_path: str | None = None, overrides: list[str] | None = None) -> Config:
+    """Build a Config from defaults, an optional YAML file, and CLI overrides.
+
+    `overrides` are ``dotted.key=value`` strings (the reference's ``--set``
+    list), e.g. ``model.roi.ps_grid=3`` or ``train.learning_rate=0.01``.
+    """
+    cfg = Config()
+    if yaml_path:
+        with open(yaml_path) as f:
+            data = yaml.safe_load(f) or {}
+        cfg = _merge_into(cfg, data)
+    for item in overrides or []:
+        key, _, raw = item.partition("=")
+        if not _:
+            raise ValueError(f"override {item!r} must be key=value")
+        value = yaml.safe_load(raw)
+        tree: Any = value
+        for part in reversed(key.strip().split(".")):
+            tree = {part: tree}
+        cfg = _merge_into(cfg, tree)
+    return cfg
+
+
+def save_config(cfg: Config, path: str) -> None:
+    with open(path, "w") as f:
+        yaml.safe_dump(dataclasses.asdict(cfg), f, sort_keys=False)
