@@ -1,0 +1,117 @@
+"""Static-shape greedy NMS for XLA.
+
+TPU-native replacement for the reference's CUDA bitmask NMS
+(ref: lib/model/nms/src/nms_cuda_kernel.cu + nms_wrapper.py). Instead of the
+64-bit block bitmask algorithm (a GPU-warp trick), we run the mathematically
+identical greedy selection as a fixed-trip-count `lax.fori_loop`: each
+iteration selects the current argmax score and masks out everything with
+IoU > threshold. `max_outputs` iterations × O(K) vector work — fully
+jit-compatible, no dynamic shapes, no host round-trip.
+
+Semantics match greedy descending-score NMS exactly: a box is suppressed iff
+IoU with an already-kept higher-scoring box is strictly greater than
+`iou_threshold` (the reference keeps `ovr <= thresh`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from dtt.core import boxes as box_ops
+
+_NEG = -1e10
+
+
+@functools.partial(jax.jit, static_argnames=("max_outputs",))
+def nms_padded(boxes: jnp.ndarray,
+               scores: jnp.ndarray,
+               iou_threshold,
+               max_outputs: int,
+               valid: jnp.ndarray | None = None,
+               score_threshold=_NEG / 2):
+    """Greedy NMS over K padded boxes.
+
+    Args:
+      boxes: (K, 4) in (x1, y1, x2, y2).
+      scores: (K,).
+      iou_threshold: scalar; suppress iff IoU > threshold.
+      max_outputs: static number of kept slots (padded).
+      valid: optional (K,) bool mask of real (non-padding) inputs.
+      score_threshold: selections with score <= this are marked invalid.
+
+    Returns:
+      keep_idx: (max_outputs,) int32 indices into the input (0 where invalid).
+      keep_valid: (max_outputs,) bool.
+    """
+    k = boxes.shape[0]
+    s = scores.astype(jnp.float32)
+    if valid is not None:
+        s = jnp.where(valid, s, _NEG)
+
+    def body(i, carry):
+        s, idx, val = carry
+        j = jnp.argmax(s)
+        best = s[j]
+        ok = best > score_threshold
+        iou = box_ops.elementwise_iou(boxes[j], boxes)
+        suppress = iou > iou_threshold
+        # always retire the selected element itself so the loop progresses
+        new_s = jnp.where(suppress, _NEG, s).at[j].set(_NEG)
+        s = jnp.where(ok, new_s, s)
+        idx = idx.at[i].set(jnp.where(ok, j, 0).astype(jnp.int32))
+        val = val.at[i].set(ok)
+        return s, idx, val
+
+    idx0 = jnp.zeros((max_outputs,), jnp.int32)
+    val0 = jnp.zeros((max_outputs,), bool)
+    _, keep_idx, keep_valid = jax.lax.fori_loop(0, max_outputs, body, (s, idx0, val0))
+    return keep_idx, keep_valid
+
+
+def nms_gather(boxes, scores, iou_threshold, max_outputs, valid=None,
+               score_threshold=_NEG / 2):
+    """NMS returning gathered (boxes, scores, valid) instead of indices."""
+    idx, keep_valid = nms_padded(boxes, scores, iou_threshold, max_outputs,
+                                 valid, score_threshold)
+    kept_boxes = boxes[idx] * keep_valid[:, None].astype(boxes.dtype)
+    kept_scores = jnp.where(keep_valid, scores[idx], 0.0)
+    return kept_boxes, kept_scores, keep_valid
+
+
+def multiclass_nms(boxes: jnp.ndarray,
+                   scores: jnp.ndarray,
+                   iou_threshold,
+                   max_per_class: int,
+                   score_threshold=0.0,
+                   valid: jnp.ndarray | None = None,
+                   per_class_boxes: bool = False):
+    """Per-class NMS for the eval path (ref: test_net.py per-class loop).
+
+    Args:
+      boxes: (K, 4) shared boxes, or (K, C, 4) per-class boxes if
+        `per_class_boxes`.
+      scores: (K, C) class scores (background already dropped by caller).
+      max_per_class: static per-class detection budget.
+
+    Returns:
+      det_boxes: (C, max_per_class, 4)
+      det_scores: (C, max_per_class)
+      det_valid: (C, max_per_class) bool
+    """
+    num_classes = scores.shape[1]
+    scores_t = scores.T  # (C, K)
+    if per_class_boxes:
+        boxes_t = jnp.moveaxis(boxes, 1, 0)  # (C, K, 4)
+    else:
+        boxes_t = jnp.broadcast_to(boxes[None], (num_classes, *boxes.shape))
+    valid_t = None if valid is None else jnp.broadcast_to(valid[None], scores_t.shape)
+
+    def one_class(b, s, v):
+        return nms_gather(b, s, iou_threshold, max_per_class, v, score_threshold)
+
+    if valid is None:
+        return jax.vmap(lambda b, s: one_class(b, s, None))(boxes_t, scores_t)
+    return jax.vmap(one_class)(boxes_t, scores_t, valid_t)

@@ -7,7 +7,6 @@ Standard JAX practice for testing shard_map/pjit parallelism without a pod
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -16,6 +15,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The machine's sitecustomize force-registers the experimental `axon` TPU
+# platform and prepends it to jax_platforms, overriding JAX_PLATFORMS=cpu.
+# Updating the config before first backend use restores a CPU-only backend
+# with 8 virtual devices for sharding tests.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402

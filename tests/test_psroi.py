@@ -1,0 +1,116 @@
+"""PSRoI pooling vs a direct-summation NumPy oracle (Caffe kernel semantics)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dtt.ops.psroi import psroi_pool, psroi_pool_xla, psroi_pool_pallas
+
+
+def np_psroi(features, rois, spatial_scale, k):
+    """Direct re-implementation of psroi_pooling_kernel.cu math."""
+    h, w, c = features.shape
+    d = c // (k * k)
+    n = rois.shape[0]
+    out = np.zeros((n, k, k, d), np.float32)
+    for i in range(n):
+        sw = round(rois[i, 0]) * spatial_scale
+        sh = round(rois[i, 1]) * spatial_scale
+        ew = round(rois[i, 2] + 1.0) * spatial_scale
+        eh = round(rois[i, 3] + 1.0) * spatial_scale
+        roi_w = max(ew - sw, 0.1)
+        roi_h = max(eh - sh, 0.1)
+        bw, bh = roi_w / k, roi_h / k
+        for ph in range(k):
+            for pw in range(k):
+                hs = int(np.floor(ph * bh + sh))
+                he = int(np.ceil((ph + 1) * bh + sh))
+                ws = int(np.floor(pw * bw + sw))
+                we = int(np.ceil((pw + 1) * bw + sw))
+                hs, he = min(max(hs, 0), h), min(max(he, 0), h)
+                ws, we = min(max(ws, 0), w), min(max(we, 0), w)
+                if he <= hs or we <= ws:
+                    continue
+                for dd in range(d):
+                    ch = (ph * k + pw) * d + dd  # dtt bin-major layout
+                    region = features[hs:he, ws:we, ch]
+                    out[i, ph, pw, dd] = region.sum() / ((he - hs) * (we - ws))
+    return out
+
+
+@pytest.fixture
+def case(rng):
+    h, w, k, d = 12, 16, 3, 5
+    feats = rng.randn(h, w, d * k * k).astype(np.float32)
+    rois = np.array(
+        [
+            [8.0, 8.0, 120.0, 80.0],     # normal
+            [0.0, 0.0, 255.0, 191.0],    # whole image
+            [50.0, 50.0, 52.0, 52.0],    # tiny (sub-bin)
+            [-20.0, -20.0, 30.0, 30.0],  # partially outside
+            [200.0, 150.0, 400.0, 300.0],  # clipped at far edge
+        ],
+        np.float32,
+    )
+    return feats, rois, 1.0 / 16.0, k
+
+
+def test_xla_matches_oracle(case):
+    feats, rois, scale, k = case
+    want = np_psroi(feats, rois, scale, k)
+    got = np.asarray(psroi_pool_xla(jnp.asarray(feats), jnp.asarray(rois), scale, k))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_matches_oracle(case):
+    feats, rois, scale, k = case
+    want = np_psroi(feats, rois, scale, k)
+    got = np.asarray(psroi_pool_pallas(jnp.asarray(feats), jnp.asarray(rois), scale, k))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_impls_agree_random(rng):
+    h, w, k, d, n = 19, 23, 7, 4, 12
+    feats = rng.randn(h, w, d * k * k).astype(np.float32)
+    rois = np.stack([
+        rng.uniform(0, 200, n), rng.uniform(0, 150, n),
+        rng.uniform(200, 360, n), rng.uniform(150, 300, n),
+    ], axis=1).astype(np.float32)
+    a = np.asarray(psroi_pool_xla(jnp.asarray(feats), jnp.asarray(rois), 1 / 16.0, k))
+    b = np.asarray(psroi_pool_pallas(jnp.asarray(feats), jnp.asarray(rois), 1 / 16.0, k))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_gradients_match(case):
+    feats, rois, scale, k = case
+    f = jnp.asarray(feats)
+    r = jnp.asarray(rois)
+
+    def loss_xla(f):
+        return jnp.sum(jnp.sin(psroi_pool_xla(f, r, scale, k)))
+
+    def loss_pallas(f):
+        return jnp.sum(jnp.sin(psroi_pool_pallas(f, r, scale, k)))
+
+    g_xla = jax.grad(loss_xla)(f)
+    g_pallas = jax.grad(loss_pallas)(f)
+    np.testing.assert_allclose(np.asarray(g_xla), np.asarray(g_pallas),
+                               rtol=1e-4, atol=1e-5)
+    # finite-difference spot check
+    eps = 1e-3
+    probe = np.zeros_like(feats)
+    probe[5, 7, 3] = 1.0
+    fd = (loss_xla(f + eps * probe) - loss_xla(f - eps * probe)) / (2 * eps)
+    np.testing.assert_allclose(float(fd), float((g_xla * probe).sum()),
+                               rtol=1e-2, atol=1e-3)
+
+
+def test_jit_and_vmap(case):
+    feats, rois, scale, k = case
+    batched_f = jnp.stack([jnp.asarray(feats)] * 2)
+    batched_r = jnp.stack([jnp.asarray(rois)] * 2)
+    fn = jax.jit(jax.vmap(lambda f, r: psroi_pool_xla(f, r, scale, k)))
+    out = fn(batched_f, batched_r)
+    assert out.shape == (2, rois.shape[0], k, k, feats.shape[-1] // (k * k))
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[1]))
