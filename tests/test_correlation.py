@@ -1,0 +1,113 @@
+"""Correlation vs a direct NumPy oracle (flownet2 kernel_size=1 semantics)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dtt.ops.correlation import (correlation, correlation_pallas,
+                                 correlation_xla, num_corr_channels)
+
+
+def np_correlation(f1, f2, d, s):
+    h, w, c = f1.shape
+    offs = list(range(-d, d + 1, s))
+    f2p = np.pad(f2, ((d, d), (d, d), (0, 0)))
+    out = np.zeros((h, w, len(offs) ** 2), np.float32)
+    j = 0
+    for dy in offs:
+        for dx in offs:
+            sl = f2p[d + dy:d + dy + h, d + dx:d + dx + w]
+            out[:, :, j] = (f1 * sl).mean(-1)
+            j += 1
+    return out
+
+
+@pytest.fixture
+def feats(rng):
+    h, w, c = 10, 14, 24
+    return (rng.randn(h, w, c).astype(np.float32),
+            rng.randn(h, w, c).astype(np.float32))
+
+
+def test_num_channels():
+    assert num_corr_channels(8, 2) == 81
+    assert num_corr_channels(4, 1) == 81
+    assert num_corr_channels(2, 2) == 9
+
+
+@pytest.mark.parametrize("d,s", [(2, 1), (4, 2), (8, 2)])
+def test_xla_matches_oracle(feats, d, s):
+    f1, f2 = feats
+    want = np_correlation(f1, f2, d, s)
+    got = np.asarray(correlation_xla(jnp.asarray(f1), jnp.asarray(f2), d, s))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("d,s", [(2, 1), (4, 2)])
+def test_pallas_matches_oracle(feats, d, s):
+    f1, f2 = feats
+    want = np_correlation(f1, f2, d, s)
+    got = np.asarray(correlation_pallas(jnp.asarray(f1), jnp.asarray(f2), d, s))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_identical_frames_center_is_norm(feats):
+    f1, _ = feats
+    out = np.asarray(correlation_xla(jnp.asarray(f1), jnp.asarray(f1), 2, 2))
+    center = out[:, :, out.shape[-1] // 2]
+    np.testing.assert_allclose(center, (f1 * f1).mean(-1), rtol=1e-5)
+
+
+def test_shifted_frame_peaks_at_shift(rng):
+    """A pure translation of f1 must put the correlation max at that offset."""
+    h, w, c = 16, 16, 8
+    f1 = rng.rand(h, w, c).astype(np.float32) + 0.5
+    dy_true, dx_true = 2, -4
+    f2 = np.roll(np.roll(f1, dy_true, axis=0), dx_true, axis=1)
+    out = np.asarray(correlation_xla(jnp.asarray(f1), jnp.asarray(f2), 4, 2))
+    offs = list(range(-4, 5, 2))
+    inner = out[6:-6, 6:-6]  # away from the wrap/pad boundary
+    j_best = np.asarray(inner.mean((0, 1))).argmax()
+    assert (offs[j_best // len(offs)], offs[j_best % len(offs)]) == (dy_true, dx_true)
+
+
+def test_gradients_match(feats):
+    f1, f2 = feats
+    a1, a2 = jnp.asarray(f1), jnp.asarray(f2)
+
+    def loss(fn):
+        return lambda x, y: jnp.sum(jnp.cos(fn(x, y, 2, 1)))
+
+    gx = jax.grad(loss(correlation_xla), argnums=(0, 1))(a1, a2)
+    gp = jax.grad(loss(correlation_pallas), argnums=(0, 1))(a1, a2)
+    for a, b in zip(gx, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+    # coarse FD probe: eps must be large enough that the loss delta clears
+    # f32 resolution of the O(3500)-magnitude loss
+    eps, probe = 0.25, np.zeros_like(f1)
+    probe[3, 5, 2] = 1.0
+    f = loss(correlation_xla)
+    fd = (f(a1 + eps * probe, a2) - f(a1 - eps * probe, a2)) / (2 * eps)
+    np.testing.assert_allclose(float(fd), float((gx[0] * probe).sum()),
+                               rtol=0.1, atol=5e-3)
+
+
+def test_channel_padding_path(rng):
+    """C not a multiple of the channel block must still be exact."""
+    f1 = rng.randn(6, 7, 5).astype(np.float32)
+    f2 = rng.randn(6, 7, 5).astype(np.float32)
+    want = np_correlation(f1, f2, 2, 2)
+    got = np.asarray(correlation_pallas(jnp.asarray(f1), jnp.asarray(f2), 2, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_vmap_batch(feats):
+    f1, f2 = feats
+    b1 = jnp.stack([jnp.asarray(f1), jnp.asarray(f2)])
+    b2 = jnp.stack([jnp.asarray(f2), jnp.asarray(f1)])
+    out = jax.vmap(lambda a, b: correlation(a, b, 2, 1, impl="xla"))(b1, b2)
+    assert out.shape == (2, 10, 14, 25)
+    np.testing.assert_allclose(np.asarray(out[0]),
+                               np_correlation(f1, f2, 2, 1), rtol=1e-5, atol=1e-5)
