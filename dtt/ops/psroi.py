@@ -97,9 +97,12 @@ def psroi_pool_xla(features: jnp.ndarray, rois: jnp.ndarray,
         for pw in range(k):
             off = (ph * k + pw) * d
             slab = jax.lax.slice_in_dim(sat, off, off + d, axis=2)
+            # flatten to single-axis gathers (fast path on TPU)
+            flat = slab.reshape((h + 1) * (w + 1), d)
             a, b = hs[:, ph], he[:, ph]
             c0, c1 = ws[:, pw], we[:, pw]
-            total = slab[b, c1] - slab[a, c1] - slab[b, c0] + slab[a, c0]
+            total = (flat[b * (w + 1) + c1] - flat[a * (w + 1) + c1]
+                     - flat[b * (w + 1) + c0] + flat[a * (w + 1) + c0])
             area = ((b - a) * (c1 - c0)).astype(jnp.float32)
             row.append(jnp.where(area[:, None] > 0,
                                  total / jnp.maximum(area[:, None], 1.0), 0.0))
@@ -195,11 +198,14 @@ def psroi_pool(features, rois, spatial_scale: float, group_size: int,
                impl: str = "auto") -> jnp.ndarray:
     """Dispatching entry point; (H, W, k*k*D), (N, 4) -> (N, k, k, D).
 
-    impl="auto" selects the Pallas kernel on TPU (measured 1.4x faster than
-    the XLA gather formulation at production shapes) and XLA elsewhere.
+    impl="auto" selects the XLA formulation: with single-axis (flattened)
+    gathers it measures 0.92 ms vs the Pallas kernel's 1.28 ms at production
+    shapes (38x68x1519, 300 RoIs) on v5e — the Pallas kernel's serial
+    per-RoI loop loses to XLA's batched gather. Both stay available and
+    oracle-pinned; `impl="pallas"` opts into the kernel.
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = "xla"
     if impl == "xla":
         return psroi_pool_xla(features, rois, spatial_scale, group_size)
     if impl == "pallas":
