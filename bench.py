@@ -1,0 +1,82 @@
+"""Benchmark: D&T frame-pair inference throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the full flagship pipeline per frame pair — ResNet-101 siamese
+features, RPN + proposal NMS, R-FCN PSRoI heads, 3-scale correlation,
+tracking head, per-class decode+NMS — at the production 608x1088 canvas.
+
+Baseline: the reference (Feynman27/pytorch-detect-to-track) publishes no
+throughput and the paper reports ~7 fps on a Titan X (D&T paper §4).
+BASELINE.json's north star is ">=5x A100-PyTorch frame-pairs/sec".  With no
+measurable reference on this machine we use an *assumed* A100 reference of
+15 frame-pairs/sec (Titan-X 7 fps scaled ~2x to A100-class hardware for this
+CUDA-era code, which does not saturate modern GPUs).  vs_baseline =
+measured / 15.0.
+"""
+
+import json
+import time
+
+import numpy as np
+
+ASSUMED_A100_REFERENCE_PAIRS_PER_SEC = 15.0
+BATCH = 4  # frame pairs per step
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from dtt.core.anchors import grid_anchors_for
+    from dtt.core.config import Config
+    from dtt.models.dnt import (decode_frame_detections, detect_frame,
+                                make_model, track_rois)
+
+    cfg = Config()
+    mcfg = cfg.model
+    h, w = cfg.input.canvas_height, cfg.input.canvas_width
+    fh, fw = h // 16, w // 16
+    model = make_model(mcfg)
+
+    rng = np.random.RandomState(0)
+    pairs = jnp.asarray(rng.randn(BATCH, 2, h, w, 3).astype(np.float32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), pairs[:1])
+    anchors = jnp.asarray(grid_anchors_for(mcfg.anchors, fh, fw))
+
+    ecfg = cfg.eval
+
+    def infer(params, pairs):
+        f_t, f_tau, track_maps = model.apply(params, pairs)
+
+        def one(i):
+            props, det = detect_frame(mcfg, f_t, anchors, h, w, 1.0,
+                                      frame_idx=i, train=False)
+            deltas = track_rois(mcfg, track_maps, det.rois, frame_idx=i)
+            return decode_frame_detections(
+                mcfg, det, h, w, ecfg.score_thresh, ecfg.nms_thresh,
+                ecfg.max_per_class, track_deltas=deltas)
+
+        return [one(i) for i in range(BATCH)]
+
+    step = jax.jit(infer)
+    out = step(params, pairs)
+    jax.block_until_ready(out)
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = step(params, pairs)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iters
+    pairs_per_sec = BATCH / dt
+
+    print(json.dumps({
+        "metric": "dnt_inference_frame_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 3),
+        "unit": "frame-pairs/sec/chip (ResNet-101 D&T, 608x1088, incl. NMS+decode)",
+        "vs_baseline": round(pairs_per_sec / ASSUMED_A100_REFERENCE_PAIRS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

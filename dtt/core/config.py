@@ -17,8 +17,14 @@ from typing import Any, Tuple
 import yaml
 
 
+
+class _Replaceable:
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
 @dataclass(frozen=True)
-class AnchorConfig:
+class AnchorConfig(_Replaceable):
     """Anchor lattice (ref: lib/model/rpn/generate_anchors.py defaults)."""
 
     base_size: int = 16
@@ -32,7 +38,7 @@ class AnchorConfig:
 
 
 @dataclass(frozen=True)
-class RPNConfig:
+class RPNConfig(_Replaceable):
     """RPN head + proposal filtering (ref: lib/model/rpn/{rpn,proposal_layer}.py)."""
 
     channels: int = 512
@@ -55,7 +61,7 @@ class RPNConfig:
 
 
 @dataclass(frozen=True)
-class RoIConfig:
+class RoIConfig(_Replaceable):
     """Proposal-target sampling + PSRoI heads (ref: proposal_target_layer_cascade.py)."""
 
     batch_size: int = 128          # sampled RoIs per image
@@ -73,11 +79,16 @@ class RoIConfig:
 
 
 @dataclass(frozen=True)
-class TrackConfig:
+class TrackConfig(_Replaceable):
     """Cross-frame correlation + tracking head (D&T paper §3.2-3.3)."""
 
     max_displacement: int = 8
     stride: int = 2                # displacement stride => (2d/s+1)^2 = 81 channels
+    # L2-normalize features before correlating (cosine correlation). Raw
+    # activation products have unbounded magnitude and destabilize the
+    # tracking head (observed divergence); cosine keeps outputs in [-1, 1]
+    # while preserving the displacement peak the tracking regressor reads.
+    normalize: bool = True
     # feature scales correlated: conv3 (stride 8, pooled to 16), conv4, conv5
     scales: Tuple[str, ...] = ("c3", "c4", "c5")
     bbox_normalize_means: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
@@ -90,7 +101,7 @@ class TrackConfig:
 
 
 @dataclass(frozen=True)
-class ModelConfig:
+class ModelConfig(_Replaceable):
     backbone: str = "resnet101"
     num_classes: int = 31          # ImageNet VID: 30 classes + background
     reduced_channels: int = 1024   # 1x1 conv after conv5 (R-FCN "new conv")
@@ -103,7 +114,7 @@ class ModelConfig:
 
 
 @dataclass(frozen=True)
-class InputConfig:
+class InputConfig(_Replaceable):
     """Host input pipeline (ref: lib/roi_data_layer/minibatch.py, utils/blob.py)."""
 
     # Reference: shorter side 600, max 1000. TPU: one fixed padded canvas so
@@ -118,7 +129,7 @@ class InputConfig:
 
 
 @dataclass(frozen=True)
-class TrainConfig:
+class TrainConfig(_Replaceable):
     """Optimizer + schedule (ref: trainval_net.py defaults)."""
 
     learning_rate: float = 1e-3
@@ -139,7 +150,7 @@ class TrainConfig:
 
 
 @dataclass(frozen=True)
-class EvalConfig:
+class EvalConfig(_Replaceable):
     score_thresh: float = 1e-3
     nms_thresh: float = 0.3
     max_dets_per_frame: int = 100  # static per-frame detection budget
@@ -150,15 +161,12 @@ class EvalConfig:
 
 
 @dataclass(frozen=True)
-class Config:
+class Config(_Replaceable):
     model: ModelConfig = field(default_factory=ModelConfig)
     input: InputConfig = field(default_factory=InputConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     eval: EvalConfig = field(default_factory=EvalConfig)
     exp_name: str = "dtt"
-
-    def replace(self, **kw) -> "Config":
-        return dataclasses.replace(self, **kw)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,221 @@
+"""The Detect & Track network: siamese R-FCN + correlation tracking head.
+
+TPU-native equivalent of the reference's main model module
+(ref: lib/model/rfcn/rfcn.py-style D&T network; D&T paper §3). One flax
+module owns every parameterized layer; the detection/tracking pipelines are
+pure functions over its outputs so they compose freely under jit/vmap/
+shard_map.
+
+Architecture (paper §3.1-3.3):
+  ResNet-101 (dilated conv5)  ->  c3 (s8), c4 (s16), c5 (s16)
+  RPN on c4                                        [per frame]
+  1x1 "new conv" c5 -> 1024 (reduced)              [per frame]
+  1x1 -> k^2*(C+1) cls ps-maps ; 1x1 -> k^2*4*nb bbox ps-maps
+  PSRoI pool + vote (mean over bins)  ->  per-RoI scores / box deltas
+  correlation(f_t, f_t+τ) at scales {c3 (pooled to s16), c4, reduced}
+  concat [reduced_t, reduced_τ, corr*] -> 1x1 -> k^2*4 tracking ps-maps
+  PSRoI pool + vote at frame-t RoIs  ->  inter-frame box displacement
+
+Channel layout of every position-sensitive map is dtt's bin-major
+``c = (ph*k + pw)*D + d`` (see dtt.ops.psroi).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from dtt.core import boxes as box_ops
+from dtt.core.config import ModelConfig
+from dtt.models.resnet import ResNetBackbone
+from dtt.models.rpn import Proposals, RPNHead, proposal_layer
+from dtt.ops.correlation import correlation
+from dtt.ops.nms import multiclass_nms
+from dtt.ops.psroi import psroi_pool
+
+_BACKBONES = {
+    "resnet101": (3, 4, 23, 3),
+    "resnet50": (3, 4, 6, 3),
+    "tiny": (1, 1, 1, 1),
+}
+
+
+class FrameFeats(NamedTuple):
+    """Everything the per-frame trunk produces (batched over frames)."""
+
+    rpn_cls: jnp.ndarray    # (B, H, W, 2A)
+    rpn_bbox: jnp.ndarray   # (B, H, W, 4A)
+    cls_maps: jnp.ndarray   # (B, H, W, k^2*(C+1))
+    bbox_maps: jnp.ndarray  # (B, H, W, k^2*4*nb)
+    reduced: jnp.ndarray    # (B, H, W, 1024)
+    corr_feats: Dict[str, jnp.ndarray]  # per-scale stride-16 maps for correlation
+
+
+class DnT(nn.Module):
+    """All parameterized layers of the D&T model."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        dtype = jnp.dtype(c.dtype)
+        self.backbone = ResNetBackbone(_BACKBONES[c.backbone],
+                                       frozen_stages=c.frozen_stages,
+                                       dtype=dtype, name="backbone")
+        self.rpn = RPNHead(c.anchors.num_anchors, c.rpn.channels, dtype,
+                           name="rpn")
+        k2 = c.roi.ps_grid ** 2
+        nb = 2 if c.roi.class_agnostic else c.num_classes
+        conv = lambda f, std, name: nn.Conv(
+            f, (1, 1), kernel_init=nn.initializers.normal(std), dtype=dtype,
+            param_dtype=jnp.float32, name=name)
+        self.reduce = conv(c.reduced_channels, 0.01, "reduce")
+        self.cls_conv = conv(k2 * c.num_classes, 0.01, "cls_maps")
+        self.bbox_conv = conv(k2 * 4 * nb, 0.001, "bbox_maps")
+        self.track_conv = conv(k2 * 4, 0.001, "track_maps")
+
+    def frame_features(self, images: jnp.ndarray) -> FrameFeats:
+        """(B, H, W, 3) mean-subtracted images -> per-frame trunk outputs."""
+        c3, c4, c5 = self.backbone(images)
+        rpn_cls, rpn_bbox = self.rpn(c4)
+        reduced = nn.relu(self.reduce(c5))
+        cls_maps = self.cls_conv(reduced).astype(jnp.float32)
+        bbox_maps = self.bbox_conv(reduced).astype(jnp.float32)
+        # pool c3 (stride 8) to stride 16 so all correlation scales align
+        c3p = nn.max_pool(c3, (2, 2), strides=(2, 2))
+        corr_feats = {"c3": c3p, "c4": c4, "c5": reduced}
+        return FrameFeats(rpn_cls=rpn_cls, rpn_bbox=rpn_bbox,
+                          cls_maps=cls_maps, bbox_maps=bbox_maps,
+                          reduced=reduced, corr_feats=corr_feats)
+
+    def track_psmaps(self, feats_t: FrameFeats, feats_tau: FrameFeats
+                     ) -> jnp.ndarray:
+        """Cross-frame correlation + 1x1 conv -> (B, H, W, k^2*4) track maps.
+
+        D&T paper eq. (7): the tracking regressor sees {correlation features,
+        frame-t features, frame-τ features}.
+        """
+        c = self.cfg.track
+        corr_fn = lambda a, b: correlation(a, b, c.max_displacement, c.stride)
+
+        def prep(x):
+            if not c.normalize:
+                return x
+            # cosine correlation: unit-normalize channels, rescale by sqrt(C)
+            # so correlation()'s 1/C mean yields values in [-1, 1]
+            n = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
+                                 keepdims=True) + 1e-6)
+            return (x / n.astype(x.dtype)) * jnp.sqrt(float(x.shape[-1])).astype(x.dtype)
+
+        corrs = [jax.vmap(corr_fn)(prep(feats_t.corr_feats[s]),
+                                   prep(feats_tau.corr_feats[s]))
+                 for s in c.scales]
+        stacked = jnp.concatenate(
+            [feats_t.reduced, feats_tau.reduced]
+            + [x.astype(feats_t.reduced.dtype) for x in corrs], axis=-1)
+        return self.track_conv(stacked).astype(jnp.float32)
+
+    def __call__(self, image_pairs: jnp.ndarray):
+        """(B, 2, H, W, 3) -> (frame-t feats, frame-τ feats, track ps-maps).
+
+        Exists so `init` creates every parameter; the pipelines below call
+        the individual methods via `apply(..., method=...)`.
+        """
+        b = image_pairs.shape[0]
+        flat = image_pairs.reshape(-1, *image_pairs.shape[2:])
+        feats = self.frame_features(flat)
+        f_t = jax.tree.map(lambda x: x[0::2] if hasattr(x, "shape") else x, feats)
+        f_tau = jax.tree.map(lambda x: x[1::2] if hasattr(x, "shape") else x, feats)
+        track = self.track_psmaps(f_t, f_tau)
+        return f_t, f_tau, track
+
+
+class Detections(NamedTuple):
+    rois: jnp.ndarray        # (N, 4) proposal boxes
+    roi_valid: jnp.ndarray   # (N,)
+    cls_prob: jnp.ndarray    # (N, C) softmax class probabilities
+    bbox_pred: jnp.ndarray   # (N, 4*nb) normalized regression output
+
+
+def rfcn_head(cfg: ModelConfig, cls_maps, bbox_maps, rois,
+              spatial_scale: float, impl: str = "auto"):
+    """PSRoI pool + vote: per-RoI class scores and box deltas (single image)."""
+    k = cfg.roi.ps_grid
+    cls_score = psroi_pool(cls_maps, rois, spatial_scale, k, impl).mean(axis=(1, 2))
+    bbox_pred = psroi_pool(bbox_maps, rois, spatial_scale, k, impl).mean(axis=(1, 2))
+    return cls_score, bbox_pred
+
+
+def detect_frame(cfg: ModelConfig, feats: FrameFeats, anchors: jnp.ndarray,
+                 im_height, im_width, im_scale, frame_idx: int = 0,
+                 train: bool = False) -> tuple[Proposals, Detections]:
+    """Single-frame R-FCN detection pipeline (driver config #1).
+
+    Consumes one frame's slice of the batched FrameFeats.
+    """
+    i = frame_idx
+    props = proposal_layer(feats.rpn_cls[i], feats.rpn_bbox[i], anchors,
+                           im_height, im_width, im_scale, cfg.rpn, train)
+    spatial_scale = 1.0 / cfg.anchors.feat_stride
+    cls_score, bbox_pred = rfcn_head(cfg, feats.cls_maps[i], feats.bbox_maps[i],
+                                     props.rois, spatial_scale)
+    cls_prob = jax.nn.softmax(cls_score, axis=-1)
+    return props, Detections(rois=props.rois, roi_valid=props.valid,
+                             cls_prob=cls_prob, bbox_pred=bbox_pred)
+
+
+def track_rois(cfg: ModelConfig, track_maps: jnp.ndarray, rois: jnp.ndarray,
+               frame_idx: int = 0) -> jnp.ndarray:
+    """PSRoI-pooled tracking displacement for frame-t RoIs: (N, 4) deltas."""
+    k = cfg.roi.ps_grid
+    spatial_scale = 1.0 / cfg.anchors.feat_stride
+    return psroi_pool(track_maps[frame_idx], rois, spatial_scale, k).mean(axis=(1, 2))
+
+
+def decode_frame_detections(cfg: ModelConfig, det: Detections,
+                            im_height, im_width,
+                            score_thresh=None, nms_thresh=None,
+                            max_per_class: int = 20,
+                            track_deltas: jnp.ndarray | None = None):
+    """Per-class box decode + NMS (ref: test_net.py post-processing).
+
+    Returns (boxes (C-1, M, 4), scores (C-1, M), valid (C-1, M)[, track boxes]).
+    Background class is dropped. If `track_deltas` is given, each kept
+    detection also gets its tracked box in frame t+τ.
+    """
+    means = jnp.asarray(cfg.roi.bbox_normalize_means)
+    stds = jnp.asarray(cfg.roi.bbox_normalize_stds)
+    if cfg.roi.class_agnostic:
+        deltas = det.bbox_pred[:, 4:8]  # fg half of the (bg, fg) pair
+        boxes = box_ops.decode_boxes(det.rois, deltas, means, stds)
+        boxes = box_ops.clip_boxes(boxes, im_height, im_width)
+        per_class_boxes = False
+    else:
+        deltas = det.bbox_pred
+        boxes = box_ops.decode_boxes(det.rois, deltas, means, stds)
+        boxes = box_ops.clip_boxes(boxes, im_height, im_width)
+        boxes = boxes.reshape(boxes.shape[0], -1, 4)[:, 1:]  # drop bg
+        per_class_boxes = True
+
+    scores = det.cls_prob[:, 1:]  # drop background column
+    det_boxes, det_scores, det_valid, det_idx = multiclass_nms(
+        boxes, scores, nms_thresh, max_per_class,
+        score_threshold=score_thresh, valid=det.roi_valid,
+        per_class_boxes=per_class_boxes)
+    if track_deltas is None:
+        return det_boxes, det_scores, det_valid
+
+    t_means = jnp.asarray(cfg.track.bbox_normalize_means)
+    t_stds = jnp.asarray(cfg.track.bbox_normalize_stds)
+    tracked = box_ops.decode_boxes(det.rois, track_deltas, t_means, t_stds)
+    tracked = box_ops.clip_boxes(tracked, im_height, im_width)
+    # gather each kept detection's tracked box with the SAME NMS selection
+    det_tracked = tracked[det_idx] * det_valid[..., None]
+    return det_boxes, det_scores, det_valid, det_tracked
+
+
+def make_model(cfg: ModelConfig) -> DnT:
+    return DnT(cfg=cfg)

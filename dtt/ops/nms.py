@@ -100,6 +100,7 @@ def multiclass_nms(boxes: jnp.ndarray,
       det_boxes: (C, max_per_class, 4)
       det_scores: (C, max_per_class)
       det_valid: (C, max_per_class) bool
+      det_idx: (C, max_per_class) int32 indices into the K input rois
     """
     num_classes = scores.shape[1]
     scores_t = scores.T  # (C, K)
@@ -110,7 +111,11 @@ def multiclass_nms(boxes: jnp.ndarray,
     valid_t = None if valid is None else jnp.broadcast_to(valid[None], scores_t.shape)
 
     def one_class(b, s, v):
-        return nms_gather(b, s, iou_threshold, max_per_class, v, score_threshold)
+        idx, keep_valid = nms_padded(b, s, iou_threshold, max_per_class, v,
+                                     score_threshold)
+        kept_boxes = b[idx] * keep_valid[:, None].astype(b.dtype)
+        kept_scores = jnp.where(keep_valid, s[idx], 0.0)
+        return kept_boxes, kept_scores, keep_valid, idx
 
     if valid is None:
         return jax.vmap(lambda b, s: one_class(b, s, None))(boxes_t, scores_t)

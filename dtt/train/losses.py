@@ -1,0 +1,155 @@
+"""D&T training losses: RPN + R-FCN (with OHEM) + tracking.
+
+Loss structure follows the reference training path (ref: trainval_net.py loss
+sum of rpn_cls/rpn_box/RCNN_cls/RCNN_box(+tracking); OHEM per R-FCN practice,
+D&T paper §3.1/3.4): detection losses are computed on BOTH frames of the
+pair, the tracking smooth-L1 on frame-t RoIs against the matched track's
+frame-τ ground truth.
+
+Everything here is a pure function of (params-derived tensors, batch,
+rng key) — vmapped over the per-device batch and jit-compiled inside the
+train step.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dtt.core.config import Config
+from dtt.models import rpn as rpn_lib
+from dtt.models import targets as tgt_lib
+from dtt.models.dnt import DnT, FrameFeats, rfcn_head, track_rois
+from dtt.models.rpn import proposal_layer, rpn_loss, smooth_l1
+
+
+class LossBreakdown(NamedTuple):
+    total: jnp.ndarray
+    rpn_cls: jnp.ndarray
+    rpn_box: jnp.ndarray
+    rfcn_cls: jnp.ndarray
+    rfcn_box: jnp.ndarray
+    track: jnp.ndarray
+    num_fg: jnp.ndarray
+
+
+def _rfcn_losses(cfg: Config, cls_score, bbox_pred, tgts: tgt_lib.RoITargets):
+    """Per-RoI cls CE + box smooth-L1, OHEM-ranked if configured."""
+    mcfg = cfg.model
+    labels = tgts.labels
+    logp = jax.nn.log_softmax(cls_score, axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+
+    if mcfg.roi.class_agnostic:
+        pred = bbox_pred[:, 4:8]       # fg half of the (bg, fg) pair
+    else:
+        idx = (labels[:, None] * 4 + jnp.arange(4)[None, :])
+        pred = jnp.take_along_axis(bbox_pred, idx, axis=1)
+    box = jnp.sum(smooth_l1(pred, tgts.bbox_targets, sigma=1.0), axis=-1)
+    box = box * tgts.bbox_weights
+
+    per_roi = jnp.where(tgts.valid, ce + box, 0.0)
+    if cfg.train.ohem:
+        k = min(cfg.train.ohem_top_k, per_roi.shape[0])
+        vals, idx = jax.lax.top_k(jnp.where(tgts.valid, per_roi, -jnp.inf), k)
+        sel = jnp.zeros_like(tgts.valid).at[idx].set(True) & tgts.valid
+        sel = jax.lax.stop_gradient(sel)
+        denom = jnp.maximum(jnp.sum(sel), 1.0)
+        cls_loss = jnp.sum(jnp.where(sel, ce, 0.0)) / denom
+        box_loss = jnp.sum(jnp.where(sel, box, 0.0)) / denom
+    else:
+        denom = jnp.maximum(jnp.sum(tgts.valid), 1.0)
+        cls_loss = jnp.sum(jnp.where(tgts.valid, ce, 0.0)) / denom
+        box_loss = jnp.sum(box) / denom
+    return cls_loss, box_loss
+
+
+def pair_loss(cfg: Config, model: DnT, params, anchors: jnp.ndarray,
+              images: jnp.ndarray,       # (2, H, W, 3)
+              gt_boxes: jnp.ndarray,     # (2, G, 4) track-aligned
+              gt_labels: jnp.ndarray,    # (G,)
+              gt_valid: jnp.ndarray,     # (2, G)
+              im_scale, key) -> LossBreakdown:
+    """Full D&T training loss for one frame pair."""
+    mcfg = cfg.model
+    h_img = images.shape[1]
+    w_img = images.shape[2]
+    f_t, f_tau, track_maps = model.apply(params, images[None])
+    frames = [f_t, f_tau]
+
+    keys = jax.random.split(key, 4)
+    spatial_scale = 1.0 / mcfg.anchors.feat_stride
+
+    rpn_cls_total = 0.0
+    rpn_box_total = 0.0
+    rfcn_cls_total = 0.0
+    rfcn_box_total = 0.0
+    track_loss = jnp.float32(0.0)
+    num_fg = jnp.float32(0.0)
+
+    for f in range(2):
+        feats: FrameFeats = frames[f]
+        at = tgt_lib.anchor_target(anchors, gt_boxes[f], gt_valid[f],
+                                   h_img, w_img, keys[2 * f], mcfg.rpn)
+        l_cls, l_box = rpn_loss(feats.rpn_cls[0], feats.rpn_bbox[0],
+                                at.labels, at.bbox_targets, at.bbox_weights,
+                                sigma=3.0)
+        rpn_cls_total += l_cls
+        rpn_box_total += l_box
+
+        props = proposal_layer(feats.rpn_cls[0], feats.rpn_bbox[0], anchors,
+                               h_img, w_img, im_scale, mcfg.rpn, train=True)
+        other = 1 - f
+        if cfg.train.ohem:
+            tgts = tgt_lib.label_all_rois(
+                props.rois, props.valid, gt_boxes[f], gt_labels, gt_valid[f],
+                gt_boxes[other], gt_valid[other], mcfg.roi,
+                mcfg.track if f == 0 else None)
+        else:
+            tgts = tgt_lib.proposal_target(
+                props.rois, props.valid, gt_boxes[f], gt_labels, gt_valid[f],
+                gt_boxes[other], gt_valid[other], keys[2 * f + 1], mcfg.roi,
+                mcfg.track if f == 0 else None)
+
+        cls_score, bbox_pred = rfcn_head(mcfg, feats.cls_maps[0],
+                                         feats.bbox_maps[0], tgts.rois,
+                                         spatial_scale)
+        l_rcls, l_rbox = _rfcn_losses(cfg, cls_score, bbox_pred, tgts)
+        rfcn_cls_total += l_rcls
+        rfcn_box_total += l_rbox
+        num_fg += jnp.sum(tgts.bbox_weights)
+
+        if f == 0:  # tracking head regresses frame-t RoIs to frame-τ gt
+            trk_pred = track_rois(mcfg, track_maps, tgts.rois)
+            tl = jnp.sum(smooth_l1(trk_pred, tgts.track_targets, sigma=1.0),
+                         axis=-1) * tgts.track_weights
+            track_loss = jnp.sum(tl) / jnp.maximum(jnp.sum(tgts.track_weights), 1.0)
+
+    total = (rpn_cls_total + rpn_box_total + rfcn_cls_total + rfcn_box_total
+             + track_loss)
+    return LossBreakdown(total=total, rpn_cls=rpn_cls_total,
+                         rpn_box=rpn_box_total, rfcn_cls=rfcn_cls_total,
+                         rfcn_box=rfcn_box_total, track=track_loss,
+                         num_fg=num_fg)
+
+
+def batch_loss(cfg: Config, model: DnT, params, anchors, batch, key
+               ) -> tuple[jnp.ndarray, LossBreakdown]:
+    """Mean pair_loss over the per-device batch dict.
+
+    batch keys: images (B,2,H,W,3), gt_boxes (B,2,G,4), gt_labels (B,G),
+    gt_valid (B,2,G), im_scale (B,).
+    """
+    b = batch["images"].shape[0]
+    keys = jax.random.split(key, b)
+
+    def one(images, gt_boxes, gt_labels, gt_valid, im_scale, k):
+        return pair_loss(cfg, model, params, anchors, images, gt_boxes,
+                         gt_labels, gt_valid, im_scale, k)
+
+    lb = jax.vmap(one)(batch["images"], batch["gt_boxes"], batch["gt_labels"],
+                       batch["gt_valid"], batch["im_scale"], keys)
+    mean_lb = jax.tree.map(jnp.mean, lb)
+    return mean_lb.total, mean_lb

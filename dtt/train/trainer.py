@@ -1,0 +1,140 @@
+"""Trainer: optax SGD(momentum) with reference hyper-parameter semantics,
+jit train step, and mesh-sharded data parallelism.
+
+TPU-native replacement for the reference training loop
+(ref: trainval_net.py — SGD momentum 0.9, doubled bias lr, no bias decay,
+lr step decay, global-norm gradient clipping, `--mGPUs` nn.DataParallel).
+Data parallelism is expressed with jax.sharding: the batch is sharded over
+the `data` mesh axis, params are replicated, and XLA inserts the gradient
+all-reduce over ICI — no hand-written communication.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dtt.core.anchors import grid_anchors_for
+from dtt.core.config import Config
+from dtt.models.dnt import DnT, make_model
+from dtt.train.losses import batch_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def _is_bias(path) -> bool:
+    return path[-1].key == "bias"
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """SGD + momentum with the reference's per-parameter rules."""
+    t = cfg.train
+    schedule = optax.piecewise_constant_schedule(
+        t.learning_rate, {int(s): t.gamma for s in t.lr_decay_steps})
+
+    bias_mask = lambda params: jax.tree_util.tree_map_with_path(
+        lambda p, _: _is_bias(p), params)
+    decay_mask = lambda params: jax.tree_util.tree_map_with_path(
+        lambda p, _: not _is_bias(p), params)
+
+    chain = [optax.clip_by_global_norm(t.clip_gradients)]
+    if t.weight_decay:
+        chain.append(optax.add_decayed_weights(
+            t.weight_decay, mask=decay_mask if not t.bias_decay else None))
+    if t.double_bias_lr:
+        chain.append(optax.masked(optax.scale(2.0), bias_mask))
+    chain.append(optax.sgd(learning_rate=schedule, momentum=t.momentum))
+    return optax.chain(*chain)
+
+
+def create_train_state(cfg: Config, key, sample_images: jnp.ndarray
+                       ) -> tuple[DnT, TrainState]:
+    model = make_model(cfg.model)
+    params = model.init(key, sample_images)
+    tx = make_optimizer(cfg)
+    return model, TrainState(params=params, opt_state=tx.init(params["params"])
+                             if "params" in params else tx.init(params),
+                             step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(cfg: Config, model: DnT, feat_hw: tuple[int, int]):
+    """Single-device jitted train step. batch dims: (B, ...)."""
+    anchors = jnp.asarray(grid_anchors_for(cfg.model.anchors, *feat_hw))
+    tx = make_optimizer(cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, key):
+        def loss_fn(params):
+            return batch_loss(cfg, model, params, anchors, batch, key)
+
+        (_, lb), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        g = grads["params"] if "params" in grads else grads
+        p = state.params["params"] if "params" in state.params else state.params
+        updates, new_opt = tx.update(g, state.opt_state, p)
+        new_p = optax.apply_updates(p, updates)
+        new_params = (dict(state.params, params=new_p)
+                      if "params" in state.params else new_p)
+        new_state = TrainState(params=new_params, opt_state=new_opt,
+                               step=state.step + 1)
+        return new_state, lb._asdict()
+
+    return train_step
+
+
+def make_data_mesh(devices=None) -> Mesh:
+    """1-D `data` mesh over all chips (ref --mGPUs DataParallel equivalent)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices, axis_names=("data",))
+
+
+def make_parallel_train_step(cfg: Config, model: DnT, feat_hw: tuple[int, int],
+                             mesh: Mesh):
+    """Data-parallel train step: batch sharded on `data`, params replicated.
+
+    Gradients are all-reduced by XLA over ICI (the psum appears in the
+    compiled module; nothing hand-written).
+    """
+    anchors = jnp.asarray(grid_anchors_for(cfg.model.anchors, *feat_hw))
+    tx = make_optimizer(cfg)
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+
+    def step_fn(state: TrainState, batch, key):
+        def loss_fn(params):
+            return batch_loss(cfg, model, params, anchors, batch, key)
+
+        (_, lb), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        g = grads["params"] if "params" in grads else grads
+        p = state.params["params"] if "params" in state.params else state.params
+        updates, new_opt = tx.update(g, state.opt_state, p)
+        new_p = optax.apply_updates(p, updates)
+        new_params = (dict(state.params, params=new_p)
+                      if "params" in state.params else new_p)
+        return TrainState(new_params, new_opt, state.step + 1), lb._asdict()
+
+    batch_spec = {
+        "images": batch_sh, "gt_boxes": batch_sh, "gt_labels": batch_sh,
+        "gt_valid": batch_sh, "im_scale": batch_sh,
+    }
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, batch_spec, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a host batch dict onto the mesh, sharded along `data`."""
+    sh = NamedSharding(mesh, P("data"))
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}

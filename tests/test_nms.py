@@ -97,9 +97,12 @@ def test_nms_gather_zeroes_padding(rng):
 def test_multiclass_nms_shapes_and_independence(rng):
     boxes = random_boxes(rng, 30)
     scores = rng.rand(30, 4).astype(np.float32)
-    db, ds, dv = multiclass_nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5,
-                                max_per_class=6, score_threshold=0.2)
+    db, ds, dv, di = multiclass_nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5,
+                                    max_per_class=6, score_threshold=0.2)
     assert db.shape == (4, 6, 4) and ds.shape == (4, 6) and dv.shape == (4, 6)
+    # returned indices must re-gather exactly the kept boxes
+    regathered = boxes[np.asarray(di)] * np.asarray(dv)[..., None]
+    np.testing.assert_allclose(np.asarray(db), regathered, rtol=1e-6)
     for c in range(4):
         want = [i for i in np_greedy_nms(boxes, scores[:, c], 0.5)
                 if scores[i, c] > 0.2][:6]

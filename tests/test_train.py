@@ -1,0 +1,95 @@
+"""Training-step tests: loss computes, decreases, and runs data-parallel."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dtt.core.config import Config
+from dtt.data.synthetic import synthetic_batch
+from dtt.train.trainer import (create_train_state, make_data_mesh,
+                               make_parallel_train_step, make_train_step,
+                               shard_batch)
+
+H, W = 64, 96
+
+
+def tiny_config(**train_kw):
+    cfg = Config()
+    return cfg.replace(
+        model=cfg.model.replace(
+            backbone="tiny", dtype="float32", frozen_stages=0,
+            reduced_channels=64, num_classes=4,
+            # small anchors: default 64-512px boxes never fit a 64x96 image
+            anchors=cfg.model.anchors.replace(scales=(1.0, 2.0, 4.0)),
+            rpn=cfg.model.rpn.replace(channels=32, pre_nms_top_n_train=128,
+                                      post_nms_top_n_train=32),
+            roi=cfg.model.roi.replace(ps_grid=3, batch_size=16),
+            track=cfg.model.track.replace(max_displacement=2, stride=1),
+        ),
+        train=cfg.train.replace(learning_rate=1e-3, ohem_top_k=16,
+                                lr_decay_steps=(10**6,), **train_kw),
+        input=cfg.input.replace(canvas_height=H, canvas_width=W, max_gt_boxes=4),
+    )
+
+
+def make_batch(cfg, b, seed=0):
+    batch = synthetic_batch(np.random.RandomState(seed), b, H, W,
+                            cfg.model.num_classes, cfg.input.max_gt_boxes)
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+@pytest.mark.parametrize("ohem", [True, False])
+def test_train_step_runs_and_is_finite(ohem):
+    cfg = tiny_config(ohem=ohem)
+    batch = make_batch(cfg, 1)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                      batch["images"][:1])
+    step = make_train_step(cfg, model, (H // 16, W // 16))
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite: {v}"
+    assert float(metrics["rpn_cls"]) > 0
+    assert float(metrics["rfcn_cls"]) > 0
+    assert int(state.step) == 1
+
+
+def test_loss_decreases():
+    cfg = tiny_config(ohem=False)
+    batch = make_batch(cfg, 2)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                      batch["images"][:1])
+    step = make_train_step(cfg, model, (H // 16, W // 16))
+    first = last = None
+    for i in range(25):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100))  # fixed key
+        if first is None:
+            first = float(metrics["total"])
+        last = float(metrics["total"])
+    assert last < first * 0.8, f"loss did not decrease: {first} -> {last}"
+
+
+def test_parallel_train_step_8_devices():
+    assert jax.device_count() == 8, "conftest must provide 8 cpu devices"
+    cfg = tiny_config()
+    mesh = make_data_mesh()
+    batch = make_batch(cfg, 8)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                      batch["images"][:1])
+    pstep = make_parallel_train_step(cfg, model, (H // 16, W // 16), mesh)
+    sharded = shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
+    state, metrics = pstep(state, sharded, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total"]))
+    # params identical on every device (replicated update)
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+    # parallel result == serial result on the same batch & key
+    sstep = make_train_step(cfg, model, (H // 16, W // 16))
+    _, state2 = create_train_state(cfg, jax.random.PRNGKey(0),
+                                   batch["images"][:1])[0:2]
+    model2, state2 = create_train_state(cfg, jax.random.PRNGKey(0),
+                                        batch["images"][:1])
+    _, m2 = sstep(state2, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(metrics["total"]), float(m2["total"]),
+                               rtol=2e-4)
