@@ -1,0 +1,137 @@
+"""Prefetching input pipeline: threaded decode → transform → batch → device.
+
+Equivalent of the reference's roibatchLoader + torch DataLoader workers
+(ref: lib/roi_data_layer/roibatchLoader.py), re-designed so the TPU never
+stalls on host transforms (BASELINE north star): worker threads decode and
+normalize frame pairs into pinned numpy batches while a depth-2 prefetch
+queue keeps the next batch's H2D transfer in flight during the current step.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Sequence
+
+import numpy as np
+
+from dtt.core.config import InputConfig
+from dtt.data.transforms import prepare_pair
+
+
+class PairLoader:
+    """Iterates shuffled roidb frame pairs as stacked batch dicts."""
+
+    def __init__(self, roidb: Sequence[dict], cfg: InputConfig,
+                 batch_size: int, seed: int = 0, num_workers: int = 4,
+                 prefetch: int = 2, prepare_fn: Callable | None = None,
+                 drop_last: bool = True, loop: bool = True):
+        assert len(roidb) > 0, "empty roidb"
+        self.roidb = list(roidb)
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.prepare_fn = prepare_fn or prepare_pair
+        self.drop_last = drop_last
+        self.loop = loop
+        self._rng = np.random.RandomState(seed)
+        self._stop = threading.Event()
+        self._batch_q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._started = False
+
+    # -- index stream -------------------------------------------------------
+    def _index_stream(self) -> Iterator[list[int]]:
+        n = len(self.roidb)
+        while True:
+            order = self._rng.permutation(n)
+            for i in range(0, n - (self.batch_size - 1 if self.drop_last else 0),
+                           self.batch_size):
+                yield [int(j) for j in order[i:i + self.batch_size]]
+            if not self.loop:
+                return
+
+    # -- workers ------------------------------------------------------------
+    def _producer(self):
+        try:
+            for idx_batch in self._index_stream():
+                if self._stop.is_set():
+                    return
+                samples = self._pool.map(
+                    lambda i: self.prepare_fn(self.roidb[i], self.cfg), idx_batch)
+                batch = {k: np.stack([s[k] for s in samples])
+                         for k in samples[0]}
+                while not self._stop.is_set():
+                    try:
+                        self._batch_q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except Exception as e:  # surface worker errors to the consumer
+            self._batch_q.put(e)
+        finally:
+            self._batch_q.put(None)
+
+    def start(self):
+        if self._started:
+            return self
+        from multiprocessing.pool import ThreadPool
+        self._pool = ThreadPool(self.num_workers)
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+        self._started = True
+        return self
+
+    def __iter__(self):
+        self.start()
+        while True:
+            item = self._batch_q.get()
+            if item is None:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+    def stop(self):
+        self._stop.set()
+        if self._started:
+            try:
+                while True:
+                    self._batch_q.get_nowait()
+            except queue.Empty:
+                pass
+            self._pool.terminate()
+        self._started = False
+
+
+def device_prefetch(iterator, mesh=None, size: int = 2):
+    """Overlap H2D transfer with compute: keep `size` batches on device.
+
+    With a mesh, batches are sharded along the `data` axis; otherwise they
+    are device_put whole.
+    """
+    import collections
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P("data")) if mesh is not None else None
+
+    def put(batch):
+        if sharding is not None:
+            return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        return {k: jax.device_put(v) for k, v in batch.items()}
+
+    buf = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        yield buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass

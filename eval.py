@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Evaluate D&T: detections + tube linking + VID mAP
+(TPU-native equivalent of the reference test_net.py + linking).
+
+Examples:
+  # synthetic end-to-end check against generated ground truth:
+  python eval.py --synthetic --checkpoint runs/dtt
+
+  # ImageNet VID validation with tube rescoring:
+  python eval.py --dataset imagenet_vid_val --data-root /data/ILSVRC2015 \
+      --checkpoint runs/dtt --link
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate Detect&Track (TPU)")
+    p.add_argument("--config", default=None)
+    p.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL")
+    p.add_argument("--checkpoint", required=True,
+                   help="run dir (uses LATEST) or explicit step dir")
+    p.add_argument("--dataset", default="imagenet_vid_val")
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic-snippets", type=int, default=4)
+    p.add_argument("--link", action="store_true", help="tube linking + rescoring")
+    p.add_argument("--out", default=None, help="detections pickle path")
+    p.add_argument("--max-snippets", type=int, default=None)
+    return p.parse_args()
+
+
+def load_model_state(args):
+    import jax
+    import jax.numpy as jnp
+    from dtt.core.config import load_config
+    from dtt.train.checkpoint import latest_checkpoint, restore_checkpoint
+    from dtt.train.trainer import create_train_state
+
+    ck = args.checkpoint
+    if os.path.exists(os.path.join(ck, "LATEST")):
+        ck = latest_checkpoint(ck)
+    # fail fast BEFORE building/compiling the model
+    if ck is None or not os.path.exists(os.path.join(ck, "state.msgpack")):
+        raise SystemExit(
+            f"error: no checkpoint at {args.checkpoint!r} "
+            f"(expected a run dir with LATEST or a step dir with state.msgpack)")
+    cfg_path = args.config or os.path.join(ck, "config.yml")
+    cfg = load_config(cfg_path if os.path.exists(cfg_path) else None, args.set)
+    h, w = cfg.input.canvas_height, cfg.input.canvas_width
+    sample = jnp.zeros((1, 2, h, w, 3), jnp.float32)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), sample)
+    state = restore_checkpoint(ck, state)
+    print(f"loaded {ck} (step {int(state.step)})")
+    return cfg, model, state
+
+
+def snippet_stream_synthetic(cfg, n_snippets):
+    from dtt.data.synthetic import synthetic_snippet
+    rng = np.random.RandomState(123)
+    h, w = cfg.input.canvas_height, cfg.input.canvas_width
+    means = np.asarray(cfg.input.pixel_means, np.float32)
+    for i in range(n_snippets):
+        imgs, gt_boxes, gt_labels, gt_valid = synthetic_snippet(
+            rng, 8, h, w, cfg.model.num_classes, cfg.input.max_gt_boxes)
+        yield f"synthetic_{i}", imgs - means, (gt_boxes, gt_labels, gt_valid)
+
+
+def snippet_stream_vid(cfg, args):
+    from dtt.data.imdb import get_dataset
+    import dtt.data.imagenet_vid  # noqa: F401
+    from dtt.data.transforms import prepare_image
+    ds = get_dataset(args.dataset, root=args.data_root)
+    for i, sn in enumerate(ds.snippets):
+        if args.max_snippets and i >= args.max_snippets:
+            return
+        imgs, scales = [], []
+        g = cfg.input.max_gt_boxes
+        t_len = len(sn.frames)
+        gt_boxes = np.zeros((t_len, g, 4), np.float32)
+        gt_labels = np.zeros((g,), np.int32)
+        gt_valid = np.zeros((t_len, g), bool)
+        tid_slot = {}
+        for t, (path, ann) in enumerate(zip(sn.frames, sn.annots)):
+            img, scale = prepare_image(path, cfg.input)
+            imgs.append(img)
+            for b, lab, tid in zip(ann["boxes"], ann["labels"],
+                                   ann["trackids"]):
+                slot = tid_slot.setdefault(int(tid), len(tid_slot))
+                if slot >= g:
+                    continue
+                gt_boxes[t, slot] = b * scale
+                gt_labels[slot] = lab
+                gt_valid[t, slot] = True
+        yield os.path.basename(os.path.dirname(sn.frames[0])), \
+            np.stack(imgs), (gt_boxes, gt_labels, gt_valid)
+
+
+def main():
+    args = parse_args()
+    from dtt.eval.inference import evaluate_snippet, link_snippet, make_pair_step
+    from dtt.eval.vid_eval import eval_detections
+    from dtt.data.imagenet_vid import CLASS_NAMES
+
+    cfg, model, state = load_model_state(args)
+    pair_step = make_pair_step(cfg, model)
+    num_classes = cfg.model.num_classes
+
+    all_dets = {c: [] for c in range(1, num_classes)}
+    all_gts = {c: {} for c in range(1, num_classes)}
+    frame_uid = 0
+
+    stream = (snippet_stream_synthetic(cfg, args.synthetic_snippets)
+              if args.synthetic else snippet_stream_vid(cfg, args))
+
+    for name, frames, (gt_boxes, gt_labels, gt_valid) in stream:
+        t_len = frames.shape[0]
+        boxes, scores, valid, tracked = evaluate_snippet(
+            cfg, pair_step, state.params, frames)
+        if args.link:
+            scores, _ = link_snippet(cfg, boxes, scores, tracked, valid)
+        for c in range(1, num_classes):
+            ci = c - 1
+            for t in range(t_len):
+                fid = frame_uid + t
+                for m in range(boxes.shape[2]):
+                    if valid[ci, t, m] and scores[ci, t, m] > cfg.eval.score_thresh:
+                        all_dets[c].append((fid, float(scores[ci, t, m]),
+                                            boxes[ci, t, m].tolist()))
+                gt_mask = gt_valid[t] & (gt_labels == c)
+                if gt_mask.any():
+                    all_gts[c][fid] = gt_boxes[t][gt_mask]
+        frame_uid += t_len
+        print(f"snippet {name}: {t_len} frames done")
+
+    if args.out:
+        with open(args.out, "wb") as f:
+            pickle.dump({"dets": all_dets, "gts": all_gts}, f)
+        print(f"wrote {args.out}")
+
+    names = CLASS_NAMES if num_classes == 31 else None
+    result = eval_detections(all_dets, all_gts, num_classes,
+                             class_names=names)
+    per_class = {f"class_{c}": (None if np.isnan(a) else round(a, 4))
+                 for c, a in result["ap"].items()}
+    print(json.dumps({"mAP": round(result["map"], 4), **per_class}))
+
+
+if __name__ == "__main__":
+    main()

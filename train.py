@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Train the D&T model (TPU-native equivalent of the reference trainval_net.py).
+
+Examples:
+  # synthetic smoke run (no dataset needed):
+  python train.py --synthetic --set train.total_steps=50 model.backbone=tiny
+
+  # ImageNet VID + DET joint training, data-parallel over all chips:
+  python train.py --dataset imagenet_vid_train+imagenet_det_train \
+      --data-root /data/ILSVRC2015 --out runs/dnt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train Detect&Track (TPU)")
+    p.add_argument("--config", default=None, help="YAML config")
+    p.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL",
+                   help="dotted config overrides")
+    p.add_argument("--dataset", default="imagenet_vid_train",
+                   help="'+'-joined registered dataset names")
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on generated mini-VID (no dataset required)")
+    p.add_argument("--out", default="runs/dtt")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --out")
+    p.add_argument("--num-workers", type=int, default=8)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from dtt.core.config import load_config, save_config
+    from dtt.data.loader import PairLoader, device_prefetch
+    from dtt.data.synthetic import synthetic_batch
+    from dtt.train.checkpoint import (latest_checkpoint, restore_checkpoint,
+                                      save_checkpoint)
+    from dtt.train.trainer import (create_train_state, make_data_mesh,
+                                   make_parallel_train_step, make_train_step,
+                                   shard_batch)
+
+    cfg = load_config(args.config, args.set)
+    os.makedirs(args.out, exist_ok=True)
+    save_config(cfg, os.path.join(args.out, "config.yml"))
+
+    n_dev = jax.device_count()
+    batch = cfg.train.batch_size_per_chip * n_dev
+    h, w = cfg.input.canvas_height, cfg.input.canvas_width
+    print(f"devices={n_dev} ({jax.default_backend()}), "
+          f"global batch={batch} frame-pairs, canvas={h}x{w}")
+
+    # ---- data ----
+    if args.synthetic:
+        rng = np.random.RandomState(cfg.train.seed)
+
+        def batches():
+            while True:
+                yield synthetic_batch(rng, batch, h, w, cfg.model.num_classes,
+                                      cfg.input.max_gt_boxes,
+                                      cfg.input.pixel_means)
+        stream = batches()
+        loader = None
+    else:
+        from dtt.data.imdb import combined_roidb
+        import dtt.data.imagenet_vid  # noqa: F401  (registers datasets)
+        assert args.data_root, "--data-root required without --synthetic"
+        roidb = combined_roidb(args.dataset, root=args.data_root,
+                               use_flipped=cfg.input.use_flipped)
+        print(f"roidb: {len(roidb)} frame-pair entries from {args.dataset}")
+        loader = PairLoader(roidb, cfg.input, batch,
+                            seed=cfg.train.seed, num_workers=args.num_workers)
+        stream = iter(loader)
+
+    # ---- model/state ----
+    sample = jnp.zeros((1, 2, h, w, 3), jnp.float32)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed),
+                                      sample)
+    if args.resume:
+        ck = latest_checkpoint(args.out)
+        if ck:
+            state = restore_checkpoint(ck, state)
+            print(f"resumed from {ck} at step {int(state.step)}")
+
+    mesh = make_data_mesh() if n_dev > 1 else None
+    if mesh is not None:
+        step_fn = make_parallel_train_step(cfg, model, (h // 16, w // 16), mesh)
+    else:
+        step_fn = make_train_step(cfg, model, (h // 16, w // 16))
+
+    stream = device_prefetch(stream, mesh=mesh, size=2)
+
+    # ---- loop ----
+    key = jax.random.PRNGKey(cfg.train.seed + 1)
+    log_path = os.path.join(args.out, "metrics.jsonl")
+    t0 = time.perf_counter()
+    start_step = int(state.step)
+    for batch_np in stream:
+        if int(state.step) >= cfg.train.total_steps:
+            break
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch_np, sub)
+        step = int(state.step)
+        if step % cfg.train.log_every == 0 or step == 1:
+            jax.block_until_ready(metrics)
+            dt = time.perf_counter() - t0
+            pps = (step - start_step) * batch / max(dt, 1e-9)
+            m = {k: round(float(v), 4) for k, v in metrics.items()}
+            line = {"step": step, "pairs_per_sec": round(pps, 2), **m}
+            print(json.dumps(line))
+            with open(log_path, "a") as f:
+                f.write(json.dumps(line) + "\n")
+        if step % cfg.train.checkpoint_every == 0:
+            path = save_checkpoint(args.out, state, cfg)
+            print(f"checkpoint: {path}")
+
+    save_checkpoint(args.out, state, cfg)
+    if loader is not None:
+        loader.stop()
+    print(f"done at step {int(state.step)}")
+
+
+if __name__ == "__main__":
+    main()
