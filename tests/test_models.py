@@ -211,6 +211,27 @@ def test_dnt_detect_and_track(dnt_setup):
     assert np.isfinite(np.asarray(tracked)).all()
 
 
+def test_batched_detection_matches_per_frame(dnt_setup):
+    from dtt.models.dnt import (decode_detections_batched,
+                                detect_frames_batched, track_rois_batched)
+    cfg, model, params, pairs = dnt_setup
+    anchors = jnp.asarray(grid_anchors_for(cfg.model.anchors, 4, 6))
+    f_t, f_tau, track = model.apply(params, pairs)
+    # batched path
+    propsb, detb = detect_frames_batched(cfg.model, f_t, anchors, 64, 96, 1.0)
+    deltasb = track_rois_batched(cfg.model, track, detb.rois)
+    outb = decode_detections_batched(cfg.model, detb, 64, 96, 0.0, 0.3, 5,
+                                     track_deltas=deltasb)
+    # per-frame path
+    props, det = detect_frame(cfg.model, f_t, anchors, 64, 96, 1.0)
+    deltas = track_rois(cfg.model, track, det.rois)
+    out = decode_frame_detections(cfg.model, det, 64, 96, 0.0, 0.3, 5,
+                                  track_deltas=deltas)
+    for a, b in zip(outb, out):
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_dnt_jit_full_pair(dnt_setup):
     cfg, model, params, pairs = dnt_setup
 
