@@ -71,6 +71,30 @@ def flip_image_and_boxes(img: np.ndarray, boxes: np.ndarray
     return out, boxes
 
 
+def prepare_frame(path: str, cfg: InputConfig, flip: bool = False,
+                  use_native: bool = True) -> tuple[np.ndarray, float]:
+    """One frame -> (normalized canvas, scale).
+
+    Fast path: the fused C++ pipeline (dtt/data/native.py) decodes JPEG at
+    DCT-domain scale and performs resize+flip+mean-subtract+pad in a single
+    pass — one core on this host makes the 4-pass cv2/numpy route the
+    bottleneck. Falls back transparently to cv2/numpy.
+    """
+    if use_native and path.lower().endswith((".jpeg", ".jpg")):
+        from dtt.data import native
+        if native.available():
+            try:
+                with open(path, "rb") as f:
+                    return native.decode_resize_normalize(f.read(), cfg, flip)
+            except ValueError:
+                pass  # corrupt/odd jpeg: fall through to cv2
+    img = load_image_bgr(path)
+    if flip:
+        img = img[:, ::-1]
+    canvas, scale = resize_to_canvas(img, cfg)
+    return normalize(canvas, cfg), scale
+
+
 def prepare_pair(entry: dict, cfg: InputConfig) -> dict:
     """roidb entry -> train-batch sample (track-aligned gt layout).
 
@@ -97,13 +121,17 @@ def prepare_pair(entry: dict, cfg: InputConfig) -> dict:
     gt_valid = np.zeros((2, g_max), bool)
 
     for f in range(2):
-        img = load_image_bgr(entry["paths"][f])
         ann = raw_annots[f]
         boxes = ann["boxes"].copy()
-        if entry.get("flipped"):
-            img, boxes = flip_image_and_boxes(img, boxes)
-        canvas, scale = resize_to_canvas(img, cfg)
-        images.append(normalize(canvas, cfg))
+        flipped = bool(entry.get("flipped"))
+        if flipped and boxes.size:
+            w_img = ann["width"]
+            fl = boxes.copy()
+            fl[:, 0] = w_img - 1.0 - boxes[:, 2]
+            fl[:, 2] = w_img - 1.0 - boxes[:, 0]
+            boxes = fl
+        canvas, scale = prepare_frame(entry["paths"][f], cfg, flip=flipped)
+        images.append(canvas)
         for b, lab, tid in zip(boxes, ann["labels"], ann["trackids"]):
             slot = slot_of.get(int(tid))
             if slot is None:
@@ -123,5 +151,4 @@ def prepare_pair(entry: dict, cfg: InputConfig) -> dict:
 
 def prepare_image(path: str, cfg: InputConfig) -> tuple[np.ndarray, float]:
     """Single eval image -> (normalized canvas, scale)."""
-    canvas, scale = resize_to_canvas(load_image_bgr(path), cfg)
-    return normalize(canvas, cfg), scale
+    return prepare_frame(path, cfg)
