@@ -33,6 +33,8 @@ def parse_args():
     p.add_argument("--out", default="runs/dtt")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --out")
+    p.add_argument("--pretrained", default=None, metavar="PTH",
+                   help="torchvision/caffe-style ResNet .pth for the backbone")
     p.add_argument("--num-workers", type=int, default=8)
     return p.parse_args()
 
@@ -87,6 +89,11 @@ def main():
     sample = jnp.zeros((1, 2, h, w, 3), jnp.float32)
     model, state = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed),
                                       sample)
+    if args.pretrained:
+        from dtt.utils.torch_import import import_pretrained_backbone
+        state = state._replace(
+            params=import_pretrained_backbone(args.pretrained, state.params))
+        print(f"loaded pretrained backbone from {args.pretrained}")
     if args.resume:
         ck = latest_checkpoint(args.out)
         if ck:
