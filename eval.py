@@ -32,6 +32,9 @@ def parse_args():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic-snippets", type=int, default=4)
     p.add_argument("--link", action="store_true", help="tube linking + rescoring")
+    p.add_argument("--tau", type=int, default=1,
+                   help="temporal stride for strided testing (D&T paper §4); "
+                        "tau>1 implies --link + tube interpolation")
     p.add_argument("--out", default=None, help="detections pickle path")
     p.add_argument("--max-snippets", type=int, default=None)
     return p.parse_args()
@@ -122,23 +125,39 @@ def main():
 
     for name, frames, (gt_boxes, gt_labels, gt_valid) in stream:
         t_len = frames.shape[0]
-        boxes, scores, valid, tracked = evaluate_snippet(
-            cfg, pair_step, state.params, frames)
-        if args.link:
-            scores, _ = link_snippet(cfg, boxes, scores, tracked, valid)
+        if args.tau > 1:
+            from dtt.eval.inference import interpolate_tubes
+            boxes, scores, valid, tracked, eval_ts = evaluate_snippet(
+                cfg, pair_step, state.params, frames, tau=args.tau)
+            _, tubes = link_snippet(cfg, boxes, scores, tracked, valid)
+            per_frame = interpolate_tubes(tubes, boxes, scores, eval_ts, t_len)
+            for t, dets in per_frame.items():
+                fid = frame_uid + t
+                for ci, s, b in dets:
+                    if s > cfg.eval.score_thresh:
+                        all_dets[ci + 1].append((fid, float(s),
+                                                 np.asarray(b).tolist()))
+        else:
+            boxes, scores, valid, tracked = evaluate_snippet(
+                cfg, pair_step, state.params, frames)
+            if args.link:
+                scores, _ = link_snippet(cfg, boxes, scores, tracked, valid)
+            for c in range(1, num_classes):
+                ci = c - 1
+                for t in range(t_len):
+                    fid = frame_uid + t
+                    for m in range(boxes.shape[2]):
+                        if valid[ci, t, m] and scores[ci, t, m] > cfg.eval.score_thresh:
+                            all_dets[c].append((fid, float(scores[ci, t, m]),
+                                                boxes[ci, t, m].tolist()))
         for c in range(1, num_classes):
-            ci = c - 1
             for t in range(t_len):
                 fid = frame_uid + t
-                for m in range(boxes.shape[2]):
-                    if valid[ci, t, m] and scores[ci, t, m] > cfg.eval.score_thresh:
-                        all_dets[c].append((fid, float(scores[ci, t, m]),
-                                            boxes[ci, t, m].tolist()))
                 gt_mask = gt_valid[t] & (gt_labels == c)
                 if gt_mask.any():
                     all_gts[c][fid] = gt_boxes[t][gt_mask]
         frame_uid += t_len
-        print(f"snippet {name}: {t_len} frames done")
+        print(f"snippet {name}: {t_len} frames done (tau={args.tau})")
 
     if args.out:
         with open(args.out, "wb") as f:

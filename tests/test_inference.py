@@ -65,3 +65,26 @@ def test_snippet_eval_and_linking(setup):
     rescored, tubes = link_snippet(cfg, boxes, scores, tracked, valid)
     assert rescored.shape == scores.shape
     assert (rescored >= scores - 1e-5).all()
+
+
+def test_interpolate_tubes_fills_skipped_frames():
+    from types import SimpleNamespace
+    # one class, one tube over keyframes t=0,2 (eval_ts), boxes move +10px
+    det_idx = np.zeros((1, 1, 2), np.int64)
+    tubes = SimpleNamespace(
+        det_idx=det_idx,
+        tube_valid=np.array([[True]]),
+        det_in_tube=np.ones((1, 2, 1), bool),
+        rescored=np.array([[[0.8], [0.6]]], np.float32),
+    )
+    boxes = np.zeros((1, 2, 1, 4), np.float32)
+    boxes[0, 0, 0] = [0, 0, 10, 10]
+    boxes[0, 1, 0] = [10, 0, 20, 10]
+    from dtt.eval.inference import interpolate_tubes
+    per_frame = interpolate_tubes(tubes, boxes, None, eval_ts=[0, 2], t_total=3)
+    assert len(per_frame[0]) == 1 and len(per_frame[1]) == 1 and len(per_frame[2]) == 1
+    c, s, b = per_frame[1][0]
+    assert c == 0
+    np.testing.assert_allclose(b, [5, 0, 15, 10])   # midpoint box
+    np.testing.assert_allclose(s, 0.7, rtol=1e-6)   # midpoint score
+    np.testing.assert_allclose(per_frame[2][0][2], [10, 0, 20, 10])
