@@ -74,6 +74,7 @@ def synthetic_pair(rng: np.random.RandomState, height: int, width: int,
         "gt_labels": gt_labels,
         "gt_valid": gt_valid,
         "im_scale": np.float32(1.0),
+        "im_size": np.array([height, width], np.float32),
     }
 
 

@@ -119,6 +119,7 @@ def prepare_pair(entry: dict, cfg: InputConfig) -> dict:
     gt_boxes = np.zeros((2, g_max, 4), np.float32)
     gt_labels = np.zeros((g_max,), np.int32)
     gt_valid = np.zeros((2, g_max), bool)
+    im_size = np.zeros((2,), np.float32)  # true (h, w) extent on the canvas
 
     for f in range(2):
         ann = raw_annots[f]
@@ -132,6 +133,8 @@ def prepare_pair(entry: dict, cfg: InputConfig) -> dict:
             boxes = fl
         canvas, scale = prepare_frame(entry["paths"][f], cfg, flip=flipped)
         images.append(canvas)
+        im_size = np.array([round(ann["height"] * scale),
+                            round(ann["width"] * scale)], np.float32)
         for b, lab, tid in zip(boxes, ann["labels"], ann["trackids"]):
             slot = slot_of.get(int(tid))
             if slot is None:
@@ -146,6 +149,9 @@ def prepare_pair(entry: dict, cfg: InputConfig) -> dict:
         "gt_labels": gt_labels,
         "gt_valid": gt_valid,
         "im_scale": np.float32(scale),
+        # true image extent on the padded canvas: anchors/negatives beyond it
+        # are padding, not background (see dtt/train/losses.py)
+        "im_size": im_size,
     }
 
 

@@ -71,11 +71,16 @@ def pair_loss(cfg: Config, model: DnT, params, anchors: jnp.ndarray,
               gt_boxes: jnp.ndarray,     # (2, G, 4) track-aligned
               gt_labels: jnp.ndarray,    # (G,)
               gt_valid: jnp.ndarray,     # (2, G)
-              im_scale, key) -> LossBreakdown:
-    """Full D&T training loss for one frame pair."""
+              im_scale, im_size, key) -> LossBreakdown:
+    """Full D&T training loss for one frame pair.
+
+    im_size is the TRUE (h, w) extent of the image on the padded canvas:
+    anchors beyond it are padding, not background, and must not be sampled
+    as negatives (the reference trains on unpadded images).
+    """
     mcfg = cfg.model
-    h_img = images.shape[1]
-    w_img = images.shape[2]
+    h_img = im_size[0]
+    w_img = im_size[1]
     f_t, f_tau, track_maps = model.apply(params, images[None])
     frames = [f_t, f_tau]
 
@@ -145,11 +150,12 @@ def batch_loss(cfg: Config, model: DnT, params, anchors, batch, key
     b = batch["images"].shape[0]
     keys = jax.random.split(key, b)
 
-    def one(images, gt_boxes, gt_labels, gt_valid, im_scale, k):
+    def one(images, gt_boxes, gt_labels, gt_valid, im_scale, im_size, k):
         return pair_loss(cfg, model, params, anchors, images, gt_boxes,
-                         gt_labels, gt_valid, im_scale, k)
+                         gt_labels, gt_valid, im_scale, im_size, k)
 
     lb = jax.vmap(one)(batch["images"], batch["gt_boxes"], batch["gt_labels"],
-                       batch["gt_valid"], batch["im_scale"], keys)
+                       batch["gt_valid"], batch["im_scale"],
+                       batch["im_size"], keys)
     mean_lb = jax.tree.map(jnp.mean, lb)
     return mean_lb.total, mean_lb

@@ -124,7 +124,7 @@ def make_parallel_train_step(cfg: Config, model: DnT, feat_hw: tuple[int, int],
 
     batch_spec = {
         "images": batch_sh, "gt_boxes": batch_sh, "gt_labels": batch_sh,
-        "gt_valid": batch_sh, "im_scale": batch_sh,
+        "gt_valid": batch_sh, "im_scale": batch_sh, "im_size": batch_sh,
     }
     return jax.jit(
         step_fn,

@@ -243,3 +243,20 @@ def test_dnt_jit_full_pair(dnt_setup):
     v1 = fwd(params, pairs)
     v2 = fwd(params, pairs)
     assert np.isfinite(float(v1)) and float(v1) == float(v2)
+
+
+def test_anchor_target_excludes_canvas_padding(rng):
+    """Anchors beyond the true image extent must never be sampled."""
+    cfg = tiny_config()
+    acfg = cfg.model.anchors.replace(scales=(1.0, 2.0))
+    anchors = jnp.asarray(grid_anchors_for(acfg, 8, 8))
+    gt = jnp.asarray([[10.0, 10.0, 50.0, 50.0]])
+    # true image is only 64x64 of the 128x128 canvas
+    out = anchor_target(anchors, gt, jnp.asarray([True]), 64, 64,
+                        jax.random.PRNGKey(0), cfg.model.rpn)
+    labels = np.asarray(out.labels)
+    sampled = labels >= 0
+    a = np.asarray(anchors)
+    inside = (a[:, 0] >= 0) & (a[:, 1] >= 0) & (a[:, 2] < 64) & (a[:, 3] < 64)
+    assert sampled.any()
+    assert not sampled[~inside].any(), "padding anchors were sampled"
