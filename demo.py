@@ -97,12 +97,18 @@ def main():
         assert frames, f"no frames found at {args.frames}"
         canvases, scale = [], None
         for f in frames:
-            c, scale = resize_to_canvas(f, cfg.input)
-            canvases.append(normalize(c, cfg.input))
+            c, scale = resize_to_canvas(f, cfg.input)  # normalizes internally
+            canvases.append(c)
 
     pair_step = make_pair_step(cfg, model)
+    if args.synthetic:
+        im_hw = (cfg.input.canvas_height, cfg.input.canvas_width)
+    else:
+        im_hw = (round(frames[0].shape[0] * scale),
+                 round(frames[0].shape[1] * scale))
     boxes, scores, valid, tracked = evaluate_snippet(
-        cfg, pair_step, state.params, np.stack(canvases))
+        cfg, pair_step, state.params, np.stack(canvases),
+        im_hw=im_hw, scale=scale or 1.0)
     tube_of = None
     if args.link:
         scores, tubes = link_snippet(cfg, boxes, scores, tracked, valid)

@@ -175,28 +175,6 @@ class Config(_Replaceable):
 # YAML + dotted-key overrides (capability parity with cfg_from_file/cfg_from_list)
 # ---------------------------------------------------------------------------
 
-def _dataclass_from_dict(cls, data: dict):
-    """Recursively build a frozen dataclass from a plain dict."""
-    if not dataclasses.is_dataclass(cls):
-        return data
-    kwargs = {}
-    fields = {f.name: f for f in dataclasses.fields(cls)}
-    for key, value in data.items():
-        if key not in fields:
-            raise KeyError(f"unknown config key {key!r} for {cls.__name__}")
-        f = fields[key]
-        if dataclasses.is_dataclass(f.type) or (
-            isinstance(f.default_factory, type) and dataclasses.is_dataclass(f.default_factory)
-        ):
-            sub_cls = f.default_factory if f.default_factory is not dataclasses.MISSING else f.type
-            kwargs[key] = _dataclass_from_dict(sub_cls, value)
-        elif isinstance(value, list):
-            kwargs[key] = tuple(value)
-        else:
-            kwargs[key] = value
-    return cls(**kwargs)
-
-
 def _merge_into(obj, data: dict):
     """Return a copy of frozen dataclass `obj` with dict `data` merged in."""
     updates = {}

@@ -32,12 +32,15 @@ def load_image_bgr(path: str) -> np.ndarray:
     return img[:, :, ::-1].copy()
 
 
-def resize_to_canvas(img: np.ndarray, cfg: InputConfig
+def resize_to_canvas(img: np.ndarray, cfg: InputConfig, normalize: bool = True
                      ) -> tuple[np.ndarray, float]:
-    """Shorter-side resize then place top-left on the fixed canvas.
+    """Shorter-side resize, mean-subtract, place top-left on a ZERO canvas.
 
-    Returns (canvas image, scale). The scale is capped so the long side
-    also fits the canvas (reference MAX_SIZE behavior).
+    Returns (canvas image, scale). The scale is capped so the long side also
+    fits the canvas (reference MAX_SIZE behavior). Padding stays exactly 0
+    *after* normalization — the reference's im_list_to_blob pads zeros after
+    mean subtraction, and the native C++ path does the same; normalizing the
+    whole canvas instead would put -pixel_mean in the padding.
     """
     h, w = img.shape[:2]
     scale = cfg.target_short_side / min(h, w)
@@ -49,6 +52,8 @@ def resize_to_canvas(img: np.ndarray, cfg: InputConfig
         yy = (np.arange(nh) / scale).astype(np.int64).clip(0, h - 1)
         xx = (np.arange(nw) / scale).astype(np.int64).clip(0, w - 1)
         resized = img[yy][:, xx]
+    if normalize:
+        resized = resized - np.asarray(cfg.pixel_means, np.float32)
     canvas = np.zeros((cfg.canvas_height, cfg.canvas_width, 3), np.float32)
     canvas[:nh, :nw] = resized
     return canvas, float(scale)
@@ -91,8 +96,7 @@ def prepare_frame(path: str, cfg: InputConfig, flip: bool = False,
     img = load_image_bgr(path)
     if flip:
         img = img[:, ::-1]
-    canvas, scale = resize_to_canvas(img, cfg)
-    return normalize(canvas, cfg), scale
+    return resize_to_canvas(img, cfg)
 
 
 def prepare_pair(entry: dict, cfg: InputConfig) -> dict:

@@ -25,29 +25,38 @@ from dtt.models.dnt import (DnT, decode_frame_detections, detect_frame,
 
 
 class PairOutputs(NamedTuple):
-    """Per-class padded detections for frame t of the pair."""
+    """Per-class padded detections for frame t of each pair (batched)."""
 
-    boxes: jnp.ndarray    # (C-1, M, 4)
-    scores: jnp.ndarray   # (C-1, M)
-    valid: jnp.ndarray    # (C-1, M)
-    tracked: jnp.ndarray  # (C-1, M, 4) predicted boxes in frame t+τ
+    boxes: jnp.ndarray    # (B, C-1, M, 4)
+    scores: jnp.ndarray   # (B, C-1, M)
+    valid: jnp.ndarray    # (B, C-1, M)
+    tracked: jnp.ndarray  # (B, C-1, M, 4) predicted boxes in frame t+τ
 
 
-def make_pair_step(cfg: Config, model: DnT):
-    """jitted (params, pair (1,2,H,W,3)) -> PairOutputs for frame t."""
+def make_pair_step(cfg: Config, model: DnT, batch: int = 4):
+    """jitted (params, pairs (B,2,H,W,3), im_hw (2,), scale) -> PairOutputs.
+
+    Detection post-processing (proposal NMS, PSRoI heads, per-class decode)
+    is vmapped over the whole pair batch — one batched suppression scan
+    instead of B sequential ones. Boxes clip to the TRUE image extent
+    `im_hw` (not the padded canvas) and the RPN min-size filter uses the
+    real `scale`, matching the reference's unpadded test protocol.
+    """
+    from dtt.models.dnt import (decode_detections_batched,
+                                detect_frames_batched, track_rois_batched)
     mcfg = cfg.model
     h, w = cfg.input.canvas_height, cfg.input.canvas_width
     anchors = jnp.asarray(grid_anchors_for(mcfg.anchors, h // 16, w // 16))
     ecfg = cfg.eval
 
     @jax.jit
-    def step(params, pair):
-        f_t, f_tau, track_maps = model.apply(params, pair)
-        props, det = detect_frame(mcfg, f_t, anchors, h, w, 1.0,
-                                  frame_idx=0, train=False)
-        deltas = track_rois(mcfg, track_maps, det.rois, frame_idx=0)
-        boxes, scores, valid, tracked = decode_frame_detections(
-            mcfg, det, h, w, ecfg.score_thresh, ecfg.nms_thresh,
+    def step(params, pairs, im_hw, scale):
+        f_t, f_tau, track_maps = model.apply(params, pairs)
+        props, det = detect_frames_batched(mcfg, f_t, anchors,
+                                           im_hw[0], im_hw[1], scale)
+        deltas = track_rois_batched(mcfg, track_maps, det.rois)
+        boxes, scores, valid, tracked = decode_detections_batched(
+            mcfg, det, im_hw[0], im_hw[1], ecfg.score_thresh, ecfg.nms_thresh,
             ecfg.max_per_class, track_deltas=deltas)
         return PairOutputs(boxes, scores, valid, tracked)
 
@@ -55,54 +64,70 @@ def make_pair_step(cfg: Config, model: DnT):
 
 
 def make_single_frame_step(cfg: Config, model: DnT):
-    """jitted (params, image (1,H,W,3)) -> per-class detections (no tracking).
+    """jitted (params, image (1,H,W,3)[, im_hw, scale]) -> per-class dets.
 
-    Driver config #1: single-frame R-FCN detection.
+    Driver config #1: single-frame R-FCN detection (no tracking head).
     """
     mcfg = cfg.model
     h, w = cfg.input.canvas_height, cfg.input.canvas_width
     anchors = jnp.asarray(grid_anchors_for(mcfg.anchors, h // 16, w // 16))
     ecfg = cfg.eval
+    default_hw = jnp.asarray([h, w], jnp.float32)
 
     @jax.jit
-    def step(params, image):
+    def step(params, image, im_hw=default_hw, scale=1.0):
         feats = model.apply(params, image, method=DnT.frame_features)
-        props, det = detect_frame(mcfg, feats, anchors, h, w, 1.0,
-                                  frame_idx=0, train=False)
-        return decode_frame_detections(mcfg, det, h, w, ecfg.score_thresh,
-                                       ecfg.nms_thresh, ecfg.max_per_class)
+        props, det = detect_frame(mcfg, feats, anchors, im_hw[0], im_hw[1],
+                                  scale, frame_idx=0, train=False)
+        return decode_frame_detections(mcfg, det, im_hw[0], im_hw[1],
+                                       ecfg.score_thresh, ecfg.nms_thresh,
+                                       ecfg.max_per_class)
 
     return step
 
 
 def evaluate_snippet(cfg: Config, pair_step, params, frames: np.ndarray,
-                     tau: int = 1):
-    """Slide stride-τ pairs over a snippet; return stacked per-frame dets.
+                     tau: int = 1, batch: int = 4,
+                     im_hw=None, scale: float = 1.0):
+    """Stride-τ pairs over a snippet, batched; return stacked per-frame dets.
 
     frames: (T, H, W, 3) normalized. With tau=1 every frame is evaluated
     (the last pairs with itself, matching the reference). With tau>1
     (temporally-strided testing, D&T paper §4) only frames 0, τ, 2τ, ... are
     evaluated; use `interpolate_tubes` to fill skipped frames from tubes.
-    Returns numpy (C-1, T', M, 4), (C-1, T', M), (C-1, T', M), (C-1, T', M, 4)
-    plus the list of evaluated frame indices.
+    im_hw is the true (h, w) image extent on the canvas (defaults to the
+    full canvas). Returns numpy (C-1, T', M, 4), (C-1, T', M), (C-1, T', M),
+    (C-1, T', M, 4) [+ evaluated frame indices when tau > 1].
     """
     t_len = frames.shape[0]
     eval_ts = list(range(0, t_len, tau))
-    boxes, scores, valid, tracked = [], [], [], []
-    for t in eval_ts:
-        t2 = min(t + tau, t_len - 1)
-        pair = jnp.asarray(np.stack([frames[t], frames[t2]])[None])
-        out = pair_step(params, pair)
-        boxes.append(np.asarray(out.boxes))
-        scores.append(np.asarray(out.scores))
-        valid.append(np.asarray(out.valid))
-        tracked.append(np.asarray(out.tracked))
-    stack = lambda xs: np.stack(xs, axis=1)  # (C-1, T', ...)
-    out = (stack(boxes), stack(scores), stack(valid), stack(tracked))
+    if im_hw is None:
+        im_hw = (frames.shape[1], frames.shape[2])
+    im_hw = jnp.asarray(im_hw, jnp.float32)
+    scale = jnp.float32(scale)
+
+    pair_idx = [(t, min(t + tau, t_len - 1)) for t in eval_ts]
+    outs = []
+    for i in range(0, len(pair_idx), batch):
+        chunk = pair_idx[i:i + batch]
+        real = len(chunk)
+        while len(chunk) < batch:  # pad the tail chunk (results trimmed)
+            chunk.append(chunk[-1])
+        pairs = jnp.asarray(np.stack(
+            [np.stack([frames[a], frames[b]]) for a, b in chunk]))
+        out = pair_step(params, pairs, im_hw, scale)
+        outs.append(jax.tree.map(lambda x: np.asarray(x[:real]), out))
+    boxes = np.concatenate([o.boxes for o in outs], axis=0)
+    scores = np.concatenate([o.scores for o in outs], axis=0)
+    valid = np.concatenate([o.valid for o in outs], axis=0)
+    tracked = np.concatenate([o.tracked for o in outs], axis=0)
+    # (T', C-1, ...) -> (C-1, T', ...)
+    out = (boxes.swapaxes(0, 1), scores.swapaxes(0, 1),
+           valid.swapaxes(0, 1), tracked.swapaxes(0, 1))
     return out if tau == 1 else (*out, eval_ts)
 
 
-def interpolate_tubes(tubes, boxes: np.ndarray, scores: np.ndarray,
+def interpolate_tubes(tubes, boxes: np.ndarray,
                       eval_ts: list[int], t_total: int):
     """Fill skipped frames of a τ-strided evaluation by linear interpolation
     along each tube (D&T paper §4: strided tubes are interpolated to every
@@ -133,8 +158,10 @@ def interpolate_tubes(tubes, boxes: np.ndarray, scores: np.ndarray,
                     a = (t - t0) / max(t1 - t0, 1)
                     out[t].append((c, (1 - a) * s0 + a * s1,
                                    (1 - a) * b0 + a * b1))
+            # extend the last keyframe through every trailing frame (frames
+            # after the final stride-τ keyframe otherwise get no detections)
             t_last, b_last, s_last = keyframes[-1]
-            for t in range(t_last, min(t_last + 1, t_total)):
+            for t in range(t_last, t_total):
                 out[t].append((c, s_last, b_last))
     return out
 

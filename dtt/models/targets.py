@@ -145,16 +145,18 @@ def proposal_target(rois: jnp.ndarray,        # (R, 4) RPN proposals, frame t
     k1, k2 = jax.random.split(key)
     fg_sel = _capped_random_mask(fg, fg_budget, k1)
 
-    # final slots: selected fg first, then random bg, then any valid filler
+    # final slots: selected fg first, then random bg. Slots that end up
+    # holding anything else (e.g. unsampled fg beyond the budget when bg
+    # candidates run short) are marked INVALID rather than mislabeled as
+    # background — the reference discards excess fg, never relabels it.
     u = jax.random.uniform(k2, (r,))
     priority = jnp.where(fg_sel, 3.0 + u,
-                         jnp.where(bg, 2.0 + u,
-                                   jnp.where(all_valid, 1.0 + u, u - 10.0)))
+                         jnp.where(bg, 2.0 + u, u - 10.0))
     _, slot_idx = jax.lax.top_k(priority, s)
 
     sel_rois = all_rois[slot_idx]
-    sel_valid = all_valid[slot_idx]
     sel_fg = fg_sel[slot_idx]
+    sel_valid = sel_fg | bg[slot_idx]
     sel_arg = argmax_gt[slot_idx]
     labels = jnp.where(sel_fg, gt_labels[sel_arg], 0)
     labels = jnp.where(sel_valid, labels, 0)

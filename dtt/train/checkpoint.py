@@ -70,6 +70,19 @@ def restore_checkpoint(path: str, state: TrainState) -> TrainState:
                       step=restored["step"])
 
 
+def restore_params_only(path: str, params_template):
+    """Restore just the model params (+ step) from a checkpoint dir.
+
+    Eval/demo don't need optimizer state, and this stays compatible across
+    optimizer-chain changes that reshape opt_state.
+    """
+    from flax.serialization import from_state_dict, msgpack_restore
+    with open(os.path.join(path, "state.msgpack"), "rb") as f:
+        raw = msgpack_restore(f.read())
+    params = from_state_dict(params_template, raw["params"])
+    return params, int(np.asarray(raw["step"]))
+
+
 def save_params(path: str, params) -> None:
     """Params-only export (inference/eval artifacts)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -36,24 +36,57 @@ def _is_bias(path) -> bool:
     return path[-1].key == "bias"
 
 
+_FROZEN_AFFINE_PARENTS = ("bn1", "bn2", "bn3", "downsample_bn")
+
+
+def _is_frozen(path, frozen_stages: int) -> bool:
+    """Frozen leaves: every FrozenAffine (BN) param + frozen backbone stages.
+
+    These take zero gradient by construction (stop_gradient), but optax
+    transforms like add_decayed_weights update params regardless of gradient,
+    so the optimizer must skip them entirely (the reference excludes
+    requires_grad=False params from the optimizer)."""
+    keys = [p.key for p in path if hasattr(p, "key")]
+    if len(keys) >= 2 and keys[-2] in _FROZEN_AFFINE_PARENTS:
+        return True
+    if "backbone" in keys:
+        i = keys.index("backbone")
+        rest = keys[i + 1:]
+        if frozen_stages >= 1 and rest[:1] in (["conv1"], ["bn1"]):
+            return True
+        for stage in range(1, 4):
+            if frozen_stages >= stage + 1 and rest[:1] == [f"layer{stage}"]:
+                return True
+    return False
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
-    """SGD + momentum with the reference's per-parameter rules."""
+    """SGD + momentum with the reference's per-parameter rules:
+    doubled bias lr, no bias decay, step decay, global-norm clipping, and
+    frozen params (BN affines + frozen stages) fully excluded."""
     t = cfg.train
+    frozen_stages = cfg.model.frozen_stages
     schedule = optax.piecewise_constant_schedule(
         t.learning_rate, {int(s): t.gamma for s in t.lr_decay_steps})
 
-    bias_mask = lambda params: jax.tree_util.tree_map_with_path(
-        lambda p, _: _is_bias(p), params)
-    decay_mask = lambda params: jax.tree_util.tree_map_with_path(
-        lambda p, _: not _is_bias(p), params)
+    def mask_of(pred):
+        return lambda params: jax.tree_util.tree_map_with_path(
+            lambda p, _: pred(p), params)
+
+    frozen = lambda p: _is_frozen(p, frozen_stages)
+    bias_mask = mask_of(lambda p: _is_bias(p) and not frozen(p))
+    decay_mask = mask_of(
+        lambda p: not frozen(p) and (t.bias_decay or not _is_bias(p)))
+    frozen_mask = mask_of(frozen)
 
     chain = [optax.clip_by_global_norm(t.clip_gradients)]
     if t.weight_decay:
-        chain.append(optax.add_decayed_weights(
-            t.weight_decay, mask=decay_mask if not t.bias_decay else None))
+        chain.append(optax.add_decayed_weights(t.weight_decay, mask=decay_mask))
     if t.double_bias_lr:
         chain.append(optax.masked(optax.scale(2.0), bias_mask))
     chain.append(optax.sgd(learning_rate=schedule, momentum=t.momentum))
+    # hard guarantee: frozen params never change
+    chain.append(optax.masked(optax.set_to_zero(), frozen_mask))
     return optax.chain(*chain)
 
 
@@ -93,8 +126,8 @@ def make_train_step(cfg: Config, model: DnT, feat_hw: tuple[int, int]):
 
 def make_data_mesh(devices=None) -> Mesh:
     """1-D `data` mesh over all chips (ref --mGPUs DataParallel equivalent)."""
-    devices = np.asarray(devices if devices is not None else jax.devices())
-    return Mesh(devices, axis_names=("data",))
+    from dtt.parallel.mesh import data_mesh
+    return data_mesh(devices)
 
 
 def make_parallel_train_step(cfg: Config, model: DnT, feat_hw: tuple[int, int],

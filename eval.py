@@ -44,7 +44,7 @@ def load_model_state(args):
     import jax
     import jax.numpy as jnp
     from dtt.core.config import load_config
-    from dtt.train.checkpoint import latest_checkpoint, restore_checkpoint
+    from dtt.train.checkpoint import latest_checkpoint, restore_params_only
     from dtt.train.trainer import create_train_state
 
     ck = args.checkpoint
@@ -60,8 +60,9 @@ def load_model_state(args):
     h, w = cfg.input.canvas_height, cfg.input.canvas_width
     sample = jnp.zeros((1, 2, h, w, 3), jnp.float32)
     model, state = create_train_state(cfg, jax.random.PRNGKey(0), sample)
-    state = restore_checkpoint(ck, state)
-    print(f"loaded {ck} (step {int(state.step)})")
+    params, step = restore_params_only(ck, state.params)
+    state = state._replace(params=params, step=jnp.asarray(step))
+    print(f"loaded {ck} (step {step})")
     return cfg, model, state
 
 
@@ -73,7 +74,8 @@ def snippet_stream_synthetic(cfg, n_snippets):
     for i in range(n_snippets):
         imgs, gt_boxes, gt_labels, gt_valid = synthetic_snippet(
             rng, 8, h, w, cfg.model.num_classes, cfg.input.max_gt_boxes)
-        yield f"synthetic_{i}", imgs - means, (gt_boxes, gt_labels, gt_valid)
+        yield (f"synthetic_{i}", imgs - means, (h, w), 1.0,
+               (gt_boxes, gt_labels, gt_valid))
 
 
 def snippet_stream_vid(cfg, args):
@@ -91,9 +93,11 @@ def snippet_stream_vid(cfg, args):
         gt_labels = np.zeros((g,), np.int32)
         gt_valid = np.zeros((t_len, g), bool)
         tid_slot = {}
+        im_hw = None
         for t, (path, ann) in enumerate(zip(sn.frames, sn.annots)):
             img, scale = prepare_image(path, cfg.input)
             imgs.append(img)
+            im_hw = (round(ann["height"] * scale), round(ann["width"] * scale))
             for b, lab, tid in zip(ann["boxes"], ann["labels"],
                                    ann["trackids"]):
                 slot = tid_slot.setdefault(int(tid), len(tid_slot))
@@ -102,8 +106,8 @@ def snippet_stream_vid(cfg, args):
                 gt_boxes[t, slot] = b * scale
                 gt_labels[slot] = lab
                 gt_valid[t, slot] = True
-        yield os.path.basename(os.path.dirname(sn.frames[0])), \
-            np.stack(imgs), (gt_boxes, gt_labels, gt_valid)
+        yield (os.path.basename(os.path.dirname(sn.frames[0])),
+               np.stack(imgs), im_hw, scale, (gt_boxes, gt_labels, gt_valid))
 
 
 def main():
@@ -123,14 +127,15 @@ def main():
     stream = (snippet_stream_synthetic(cfg, args.synthetic_snippets)
               if args.synthetic else snippet_stream_vid(cfg, args))
 
-    for name, frames, (gt_boxes, gt_labels, gt_valid) in stream:
+    for name, frames, im_hw, scale, (gt_boxes, gt_labels, gt_valid) in stream:
         t_len = frames.shape[0]
         if args.tau > 1:
             from dtt.eval.inference import interpolate_tubes
             boxes, scores, valid, tracked, eval_ts = evaluate_snippet(
-                cfg, pair_step, state.params, frames, tau=args.tau)
+                cfg, pair_step, state.params, frames, tau=args.tau,
+                im_hw=im_hw, scale=scale)
             _, tubes = link_snippet(cfg, boxes, scores, tracked, valid)
-            per_frame = interpolate_tubes(tubes, boxes, scores, eval_ts, t_len)
+            per_frame = interpolate_tubes(tubes, boxes, eval_ts, t_len)
             for t, dets in per_frame.items():
                 fid = frame_uid + t
                 for ci, s, b in dets:
@@ -139,7 +144,7 @@ def main():
                                                  np.asarray(b).tolist()))
         else:
             boxes, scores, valid, tracked = evaluate_snippet(
-                cfg, pair_step, state.params, frames)
+                cfg, pair_step, state.params, frames, im_hw=im_hw, scale=scale)
             if args.link:
                 scores, _ = link_snippet(cfg, boxes, scores, tracked, valid)
             for c in range(1, num_classes):

@@ -26,15 +26,20 @@ def setup():
 def test_pair_step_shapes(setup):
     cfg, model, params = setup
     step = make_pair_step(cfg, model)
-    pair = jnp.asarray(np.random.RandomState(0)
-                       .randn(1, 2, 64, 96, 3).astype(np.float32))
-    out = step(params, pair)
+    pairs = jnp.asarray(np.random.RandomState(0)
+                        .randn(2, 2, 64, 96, 3).astype(np.float32))
+    out = step(params, pairs, jnp.asarray([64.0, 96.0]), jnp.float32(1.0))
     c = cfg.model.num_classes - 1
     m = cfg.eval.max_per_class
-    assert out.boxes.shape == (c, m, 4)
-    assert out.scores.shape == (c, m)
-    assert out.tracked.shape == (c, m, 4)
+    assert out.boxes.shape == (2, c, m, 4)
+    assert out.scores.shape == (2, c, m)
+    assert out.tracked.shape == (2, c, m, 4)
     assert np.isfinite(np.asarray(out.boxes)).all()
+    # boxes clip to the TRUE extent, not the canvas
+    out2 = step(params, pairs, jnp.asarray([32.0, 48.0]), jnp.float32(1.0))
+    b = np.asarray(out2.boxes)[np.asarray(out2.valid)]
+    if b.size:
+        assert b[:, 2].max() <= 47.0 and b[:, 3].max() <= 31.0
 
 
 def test_single_frame_step(setup):
@@ -81,7 +86,7 @@ def test_interpolate_tubes_fills_skipped_frames():
     boxes[0, 0, 0] = [0, 0, 10, 10]
     boxes[0, 1, 0] = [10, 0, 20, 10]
     from dtt.eval.inference import interpolate_tubes
-    per_frame = interpolate_tubes(tubes, boxes, None, eval_ts=[0, 2], t_total=3)
+    per_frame = interpolate_tubes(tubes, boxes, eval_ts=[0, 2], t_total=3)
     assert len(per_frame[0]) == 1 and len(per_frame[1]) == 1 and len(per_frame[2]) == 1
     c, s, b = per_frame[1][0]
     assert c == 0

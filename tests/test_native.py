@@ -40,7 +40,7 @@ def test_decode_matches_cv2_path(jpeg_path):
         open(jpeg_path, "rb").read(), CFG)
     img = load_image_bgr(jpeg_path)
     canvas, scale_c = resize_to_canvas(img, CFG)
-    want = normalize(canvas, CFG)
+    want = canvas
     assert got.shape == want.shape == (96, 128, 3)
     assert abs(scale_n - scale_c) < 1e-5
     nh, nw = int(round(240 * scale_c)), int(round(320 * scale_c))
@@ -48,8 +48,23 @@ def test_decode_matches_cv2_path(jpeg_path):
     # INTER_LINEAR from full res); on smooth content they stay close
     diff = np.abs(got[:nh, :nw] - want[:nh, :nw]).mean()
     assert diff < 6.0, f"mean abs pixel diff {diff}"
-    # padding area must be exactly zero in both
-    assert np.all(got[nh + 1:] == 0) and np.all(want[nh + 1:] == 0)
+
+
+def test_padding_semantics_match(tmp_path):
+    """Both paths must pad with exactly 0 AFTER mean subtraction (the
+    reference pads zeros post-normalization). A 100x100 image on the 96x128
+    canvas leaves real padding columns to compare."""
+    rng = np.random.RandomState(3)
+    img = (rng.rand(100, 100, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "sq.JPEG")
+    cv2.imwrite(p, img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+    got, scale_n = native.decode_resize_normalize(open(p, "rb").read(), CFG)
+    want, scale_c = resize_to_canvas(load_image_bgr(p), CFG)
+    nh, nw = int(round(100 * scale_c)), int(round(100 * scale_c))
+    assert nw < 128, "test image must not fill the canvas"
+    assert np.all(got[:, nw + 1:] == 0), "native padding must be zero"
+    assert np.all(want[:, nw + 1:] == 0), "cv2-path padding must be zero"
+    assert np.abs(got[:nh, :nw] - want[:nh, :nw]).mean() < 8.0
 
 
 def test_native_flip(jpeg_path):
@@ -64,8 +79,7 @@ def test_native_flip(jpeg_path):
 def test_resize_normalize_u8(jpeg_path):
     img = cv2.imread(jpeg_path).astype(np.uint8)
     got, scale = native.resize_normalize(img, CFG)
-    canvas, scale_c = resize_to_canvas(img.astype(np.float32), CFG)
-    want = normalize(canvas, CFG)
+    want, scale_c = resize_to_canvas(img.astype(np.float32), CFG)
     assert abs(scale - scale_c) < 1e-5
     nh, nw = int(round(img.shape[0] * scale)), int(round(img.shape[1] * scale))
     diff = np.abs(got[:nh, :nw] - want[:nh, :nw]).mean()

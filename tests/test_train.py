@@ -93,3 +93,30 @@ def test_parallel_train_step_8_devices():
     _, m2 = sstep(state2, batch, jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(metrics["total"]), float(m2["total"]),
                                rtol=2e-4)
+
+
+def test_frozen_params_never_updated():
+    """Frozen leaves (BN affines, frozen stages) get exactly zero optimizer
+    updates even under weight decay (review finding: add_decayed_weights
+    updates zero-grad params)."""
+    import optax
+    from dtt.train.trainer import make_optimizer, _is_frozen
+    cfg = tiny_config()
+    cfg = cfg.replace(model=cfg.model.replace(frozen_stages=2))
+    batch = make_batch(cfg, 1)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                      batch["images"][:1])
+    tx = make_optimizer(cfg)
+    p = state.params["params"]
+    zero_g = jax.tree_util.tree_map(jnp.zeros_like, p)
+    updates, _ = jax.jit(tx.update)(zero_g, state.opt_state, p)
+    flat = jax.tree_util.tree_flatten_with_path(updates)[0]
+    n_frozen = n_bad = n_decayed = 0
+    for path, leaf in flat:
+        if _is_frozen(path, 2):
+            n_frozen += 1
+            n_bad += int(np.any(np.asarray(leaf) != 0))
+        elif np.any(np.asarray(leaf) != 0):
+            n_decayed += 1
+    assert n_frozen > 0 and n_bad == 0
+    assert n_decayed > 0  # weight decay still reaches trainable params
