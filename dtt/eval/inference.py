@@ -63,6 +63,75 @@ def make_pair_step(cfg: Config, model: DnT, batch: int = 4):
     return step
 
 
+def make_video_step(cfg: Config, model: DnT, frames_per_chunk: int = 8):
+    """jitted (params, frames (F,H,W,3), im_hw, scale) -> PairOutputs (F-1,...).
+
+    Computes backbone features ONCE per frame and forms the F-1 adjacent
+    pairs by shifting — the siamese pair formulation recomputes every
+    interior frame's features twice during snippet evaluation (the reference
+    does too); this halves video feature cost. Chunks overlap by one frame
+    at the caller.
+    """
+    from dtt.models.dnt import (decode_detections_batched,
+                                detect_frames_batched, track_rois_batched)
+    mcfg = cfg.model
+    h, w = cfg.input.canvas_height, cfg.input.canvas_width
+    anchors = jnp.asarray(grid_anchors_for(mcfg.anchors, h // 16, w // 16))
+    ecfg = cfg.eval
+
+    @jax.jit
+    def step(params, frames, im_hw, scale):
+        feats = model.apply(params, frames, method=DnT.frame_features)
+        f_t = jax.tree.map(lambda x: x[:-1], feats)
+        f_tau = jax.tree.map(lambda x: x[1:], feats)
+        track_maps = model.apply(params, f_t, f_tau, method=DnT.track_psmaps)
+        props, det = detect_frames_batched(mcfg, f_t, anchors,
+                                           im_hw[0], im_hw[1], scale)
+        deltas = track_rois_batched(mcfg, track_maps, det.rois)
+        boxes, scores, valid, tracked = decode_detections_batched(
+            mcfg, det, im_hw[0], im_hw[1], ecfg.score_thresh, ecfg.nms_thresh,
+            ecfg.max_per_class, track_deltas=deltas)
+        return PairOutputs(boxes, scores, valid, tracked)
+
+    return step
+
+
+def evaluate_snippet_video(cfg: Config, video_step, params,
+                           frames: np.ndarray, frames_per_chunk: int = 8,
+                           im_hw=None, scale: float = 1.0):
+    """Snippet eval with per-frame feature sharing (τ=1 only).
+
+    Same outputs as evaluate_snippet(tau=1): (C-1, T, M, ...) arrays.
+    The snippet is extended by duplicating the last frame (identity pair for
+    frame T-1) and processed in chunks overlapping by one frame.
+    """
+    t_len = frames.shape[0]
+    if im_hw is None:
+        im_hw = (frames.shape[1], frames.shape[2])
+    im_hw = jnp.asarray(im_hw, jnp.float32)
+    scale = jnp.float32(scale)
+    ext = np.concatenate([frames, frames[-1:]], axis=0)  # T+1 frames
+
+    f = frames_per_chunk
+    outs = []
+    start = 0
+    while start < t_len:
+        chunk = ext[start:start + f]
+        real = chunk.shape[0] - 1  # pairs produced by this chunk
+        if chunk.shape[0] < f:    # pad tail by repeating the last frame
+            pad = np.repeat(chunk[-1:], f - chunk.shape[0], axis=0)
+            chunk = np.concatenate([chunk, pad], axis=0)
+        out = video_step(params, jnp.asarray(chunk), im_hw, scale)
+        outs.append(jax.tree.map(lambda x: np.asarray(x[:real]), out))
+        start += f - 1            # overlap: last frame re-used as next f_t
+    boxes = np.concatenate([o.boxes for o in outs], axis=0)[:t_len]
+    scores = np.concatenate([o.scores for o in outs], axis=0)[:t_len]
+    valid = np.concatenate([o.valid for o in outs], axis=0)[:t_len]
+    tracked = np.concatenate([o.tracked for o in outs], axis=0)[:t_len]
+    return (boxes.swapaxes(0, 1), scores.swapaxes(0, 1),
+            valid.swapaxes(0, 1), tracked.swapaxes(0, 1))
+
+
 def make_single_frame_step(cfg: Config, model: DnT):
     """jitted (params, image (1,H,W,3)[, im_hw, scale]) -> per-class dets.
 

@@ -117,7 +117,11 @@ def main():
     from dtt.data.imagenet_vid import CLASS_NAMES
 
     cfg, model, state = load_model_state(args)
-    pair_step = make_pair_step(cfg, model)
+    if args.tau > 1:
+        pair_step = make_pair_step(cfg, model)
+    else:
+        from dtt.eval.inference import make_video_step
+        video_step = make_video_step(cfg, model)
     num_classes = cfg.model.num_classes
 
     all_dets = {c: [] for c in range(1, num_classes)}
@@ -143,8 +147,11 @@ def main():
                         all_dets[ci + 1].append((fid, float(s),
                                                  np.asarray(b).tolist()))
         else:
-            boxes, scores, valid, tracked = evaluate_snippet(
-                cfg, pair_step, state.params, frames, im_hw=im_hw, scale=scale)
+            # τ=1: share per-frame features across adjacent pairs (2x fewer
+            # backbone passes than the siamese pair formulation)
+            from dtt.eval.inference import evaluate_snippet_video
+            boxes, scores, valid, tracked = evaluate_snippet_video(
+                cfg, video_step, state.params, frames, im_hw=im_hw, scale=scale)
             if args.link:
                 scores, _ = link_snippet(cfg, boxes, scores, tracked, valid)
             for c in range(1, num_classes):

@@ -93,3 +93,21 @@ def test_interpolate_tubes_fills_skipped_frames():
     np.testing.assert_allclose(b, [5, 0, 15, 10])   # midpoint box
     np.testing.assert_allclose(s, 0.7, rtol=1e-6)   # midpoint score
     np.testing.assert_allclose(per_frame[2][0][2], [10, 0, 20, 10])
+
+
+def test_video_step_matches_pair_step(setup):
+    """Feature-sharing video path must equal the pair path exactly (τ=1)."""
+    from dtt.eval.inference import evaluate_snippet_video, make_video_step
+    cfg, model, params = setup
+    imgs, *_ = synthetic_snippet(np.random.RandomState(2), 6, 64, 96,
+                                 cfg.model.num_classes, 4)
+    frames = imgs - 120.0
+    pair_out = evaluate_snippet(cfg, make_pair_step(cfg, model), params,
+                                frames, im_hw=(64, 96), scale=1.0)
+    video_out = evaluate_snippet_video(cfg, make_video_step(cfg, model),
+                                       params, frames, frames_per_chunk=4,
+                                       im_hw=(64, 96), scale=1.0)
+    for a, b, name in zip(pair_out, video_out,
+                          ("boxes", "scores", "valid", "tracked")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
