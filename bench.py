@@ -33,6 +33,8 @@ CHUNK = 9  # frames per step -> CHUNK-1 frame pairs
 
 
 def main():
+    from dtt.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from dtt.core.config import Config

@@ -41,6 +41,8 @@ def parse_args():
 
 
 def load_model_state(args):
+    from dtt.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from dtt.core.config import load_config

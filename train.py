@@ -41,6 +41,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from dtt.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 
