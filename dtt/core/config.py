@@ -113,6 +113,10 @@ class ModelConfig(_Replaceable):
     track: TrackConfig = field(default_factory=TrackConfig)
     dtype: str = "bfloat16"        # compute dtype for backbone/heads
     frozen_stages: int = 2         # freeze conv1 + layer1 (R-FCN practice)
+    # rematerialize backbone stages in the backward pass (jax.checkpoint):
+    # trades ~30% step time for activation memory, enabling larger
+    # per-chip train batches
+    remat: bool = False
 
 
 @dataclass(frozen=True)

@@ -64,7 +64,8 @@ class DnT(nn.Module):
         dtype = jnp.dtype(c.dtype)
         self.backbone = ResNetBackbone(_BACKBONES[c.backbone],
                                        frozen_stages=c.frozen_stages,
-                                       dtype=dtype, name="backbone")
+                                       dtype=dtype, remat=c.remat,
+                                       name="backbone")
         self.rpn = RPNHead(c.anchors.num_anchors, c.rpn.channels, dtype,
                            name="rpn")
         k2 = c.roi.ps_grid ** 2

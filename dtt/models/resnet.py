@@ -80,14 +80,16 @@ class ResNetStage(nn.Module):
     stride: int = 1
     dilation: int = 1
     dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False  # rematerialize blocks in backward (memory for FLOPs)
 
     @nn.compact
     def __call__(self, x):
-        x = Bottleneck(self.planes, self.stride, self.dilation,
-                       downsample=True, dtype=self.dtype, name="block0")(x)
+        block = nn.remat(Bottleneck) if self.remat else Bottleneck
+        x = block(self.planes, self.stride, self.dilation,
+                  downsample=True, dtype=self.dtype, name="block0")(x)
         for i in range(1, self.blocks):
-            x = Bottleneck(self.planes, 1, self.dilation,
-                           dtype=self.dtype, name=f"block{i}")(x)
+            x = block(self.planes, 1, self.dilation,
+                      dtype=self.dtype, name=f"block{i}")(x)
         return x
 
 
@@ -97,6 +99,7 @@ class ResNetBackbone(nn.Module):
     layers: Sequence[int] = (3, 4, 23, 3)  # resnet101
     frozen_stages: int = 2                 # freeze stem(1) + layer1(2)
     dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -111,19 +114,19 @@ class ResNetBackbone(nn.Module):
             x = jax.lax.stop_gradient(x)
 
         x = ResNetStage(64, self.layers[0], stride=1, dtype=self.dtype,
-                        name="layer1")(x)
+                        remat=self.remat, name="layer1")(x)
         if self.frozen_stages >= 2:
             x = jax.lax.stop_gradient(x)
 
         c3 = ResNetStage(128, self.layers[1], stride=2, dtype=self.dtype,
-                         name="layer2")(x)
+                         remat=self.remat, name="layer2")(x)
         if self.frozen_stages >= 3:
             c3 = jax.lax.stop_gradient(c3)
         c4 = ResNetStage(256, self.layers[2], stride=2, dtype=self.dtype,
-                         name="layer3")(c3)
+                         remat=self.remat, name="layer3")(c3)
         # conv5: stride removed, dilation 2 (atrous) => stays at stride 16
         c5 = ResNetStage(512, self.layers[3], stride=1, dilation=2,
-                         dtype=self.dtype, name="layer4")(c4)
+                         dtype=self.dtype, remat=self.remat, name="layer4")(c4)
         return c3, c4, c5
 
 
