@@ -76,7 +76,11 @@ class RoIConfig(_Replaceable):
     bbox_normalize_targets_precomputed: bool = True
     # Position-sensitive grid (R-FCN k=7; D&T paper §3.1)
     ps_grid: int = 7
-    pooling_mode: str = "psroi"    # psroi | align | pool | crop (cfg.POOLING_MODE)
+    # cfg.POOLING_MODE parity: the R-FCN/D&T architecture pools position-
+    # sensitive maps, so "psroi" is the only mode the detection head consumes;
+    # align/pool/crop exist as ops (dtt.ops.roi_ops) for the faster-rcnn-style
+    # head variant of the jwyang lineage.
+    pooling_mode: str = "psroi"
     class_agnostic: bool = True    # R-FCN bbox head is class-agnostic in the lineage
 
 
