@@ -5,9 +5,12 @@ Examples:
   # synthetic smoke run (no dataset needed):
   python train.py --synthetic --set train.total_steps=50 model.backbone=tiny
 
-  # ImageNet VID + DET joint training, data-parallel over all chips:
+  # ImageNet VID + DET joint training, data-parallel over all chips.
+  # NOTE: like the reference, the flagship config assumes an ImageNet-
+  # pretrained backbone (--pretrained resnet101.pth); with frozen stages +
+  # frozen BN a randomly-initialized ResNet-101 cannot learn detection.
   python train.py --dataset imagenet_vid_train+imagenet_det_train \
-      --data-root /data/ILSVRC2015 --out runs/dnt
+      --data-root /data/ILSVRC2015 --pretrained resnet101.pth --out runs/dnt
 """
 
 from __future__ import annotations
