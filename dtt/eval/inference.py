@@ -33,32 +33,38 @@ class PairOutputs(NamedTuple):
     tracked: jnp.ndarray  # (B, C-1, M, 4) predicted boxes in frame t+τ
 
 
+def _detect_and_track(cfg: Config, anchors, f_t, track_maps, im_hw, scale
+                      ) -> PairOutputs:
+    """Shared post-feature pipeline: batched proposals + heads + tracking +
+    per-class decode, clipped to the TRUE image extent `im_hw` with the RPN
+    min-size filter at the real `scale` (reference's unpadded protocol)."""
+    from dtt.models.dnt import (decode_detections_batched,
+                                detect_frames_batched, track_rois_batched)
+    mcfg = cfg.model
+    ecfg = cfg.eval
+    props, det = detect_frames_batched(mcfg, f_t, anchors,
+                                       im_hw[0], im_hw[1], scale)
+    deltas = track_rois_batched(mcfg, track_maps, det.rois)
+    boxes, scores, valid, tracked = decode_detections_batched(
+        mcfg, det, im_hw[0], im_hw[1], ecfg.score_thresh, ecfg.nms_thresh,
+        ecfg.max_per_class, track_deltas=deltas)
+    return PairOutputs(boxes, scores, valid, tracked)
+
+
 def make_pair_step(cfg: Config, model: DnT, batch: int = 4):
     """jitted (params, pairs (B,2,H,W,3), im_hw (2,), scale) -> PairOutputs.
 
     Detection post-processing (proposal NMS, PSRoI heads, per-class decode)
     is vmapped over the whole pair batch — one batched suppression scan
-    instead of B sequential ones. Boxes clip to the TRUE image extent
-    `im_hw` (not the padded canvas) and the RPN min-size filter uses the
-    real `scale`, matching the reference's unpadded test protocol.
+    instead of B sequential ones.
     """
-    from dtt.models.dnt import (decode_detections_batched,
-                                detect_frames_batched, track_rois_batched)
-    mcfg = cfg.model
     h, w = cfg.input.canvas_height, cfg.input.canvas_width
-    anchors = jnp.asarray(grid_anchors_for(mcfg.anchors, h // 16, w // 16))
-    ecfg = cfg.eval
+    anchors = jnp.asarray(grid_anchors_for(cfg.model.anchors, h // 16, w // 16))
 
     @jax.jit
     def step(params, pairs, im_hw, scale):
         f_t, f_tau, track_maps = model.apply(params, pairs)
-        props, det = detect_frames_batched(mcfg, f_t, anchors,
-                                           im_hw[0], im_hw[1], scale)
-        deltas = track_rois_batched(mcfg, track_maps, det.rois)
-        boxes, scores, valid, tracked = decode_detections_batched(
-            mcfg, det, im_hw[0], im_hw[1], ecfg.score_thresh, ecfg.nms_thresh,
-            ecfg.max_per_class, track_deltas=deltas)
-        return PairOutputs(boxes, scores, valid, tracked)
+        return _detect_and_track(cfg, anchors, f_t, track_maps, im_hw, scale)
 
     return step
 
@@ -70,34 +76,28 @@ def make_video_step(cfg: Config, model: DnT, frames_per_chunk: int = 8):
     pairs by shifting — the siamese pair formulation recomputes every
     interior frame's features twice during snippet evaluation (the reference
     does too); this halves video feature cost. Chunks overlap by one frame
-    at the caller.
+    at the caller; `frames_per_chunk` is enforced against the input shape.
     """
-    from dtt.models.dnt import (decode_detections_batched,
-                                detect_frames_batched, track_rois_batched)
-    mcfg = cfg.model
     h, w = cfg.input.canvas_height, cfg.input.canvas_width
-    anchors = jnp.asarray(grid_anchors_for(mcfg.anchors, h // 16, w // 16))
-    ecfg = cfg.eval
+    anchors = jnp.asarray(grid_anchors_for(cfg.model.anchors, h // 16, w // 16))
+    assert frames_per_chunk >= 2, "a chunk needs at least one frame pair"
 
     @jax.jit
     def step(params, frames, im_hw, scale):
+        assert frames.shape[0] == frames_per_chunk, (
+            f"expected chunks of {frames_per_chunk} frames, got {frames.shape}")
         feats = model.apply(params, frames, method=DnT.frame_features)
         f_t = jax.tree.map(lambda x: x[:-1], feats)
         f_tau = jax.tree.map(lambda x: x[1:], feats)
         track_maps = model.apply(params, f_t, f_tau, method=DnT.track_psmaps)
-        props, det = detect_frames_batched(mcfg, f_t, anchors,
-                                           im_hw[0], im_hw[1], scale)
-        deltas = track_rois_batched(mcfg, track_maps, det.rois)
-        boxes, scores, valid, tracked = decode_detections_batched(
-            mcfg, det, im_hw[0], im_hw[1], ecfg.score_thresh, ecfg.nms_thresh,
-            ecfg.max_per_class, track_deltas=deltas)
-        return PairOutputs(boxes, scores, valid, tracked)
+        return _detect_and_track(cfg, anchors, f_t, track_maps, im_hw, scale)
 
+    step.frames_per_chunk = frames_per_chunk  # consumed by evaluate_snippet_video
     return step
 
 
 def evaluate_snippet_video(cfg: Config, video_step, params,
-                           frames: np.ndarray, frames_per_chunk: int = 8,
+                           frames: np.ndarray, frames_per_chunk: int | None = None,
                            im_hw=None, scale: float = 1.0):
     """Snippet eval with per-frame feature sharing (τ=1 only).
 
@@ -105,6 +105,9 @@ def evaluate_snippet_video(cfg: Config, video_step, params,
     The snippet is extended by duplicating the last frame (identity pair for
     frame T-1) and processed in chunks overlapping by one frame.
     """
+    if frames_per_chunk is None:
+        frames_per_chunk = getattr(video_step, "frames_per_chunk", 8)
+    assert frames_per_chunk >= 2, "a chunk needs at least one frame pair"
     t_len = frames.shape[0]
     if im_hw is None:
         im_hw = (frames.shape[1], frames.shape[2])

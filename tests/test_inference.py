@@ -104,8 +104,8 @@ def test_video_step_matches_pair_step(setup):
     frames = imgs - 120.0
     pair_out = evaluate_snippet(cfg, make_pair_step(cfg, model), params,
                                 frames, im_hw=(64, 96), scale=1.0)
-    video_out = evaluate_snippet_video(cfg, make_video_step(cfg, model),
-                                       params, frames, frames_per_chunk=4,
+    video_out = evaluate_snippet_video(cfg, make_video_step(cfg, model, 4),
+                                       params, frames,
                                        im_hw=(64, 96), scale=1.0)
     for a, b, name in zip(pair_out, video_out,
                           ("boxes", "scores", "valid", "tracked")):

@@ -3,17 +3,16 @@
 Uses deferral-proof forced-fetch timing (see dtt/utils/timing.py and
 CLAUDE.md). Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_convs.py
 """
+from dtt.utils.cache import enable_compilation_cache
+enable_compilation_cache()
 import numpy as np, jax, jax.numpy as jnp, time
-import flax.linen as nn
 from dtt.utils.timing import sync_latency
 
 lat = sync_latency()
 rng = np.random.RandomState(0)
 
 def bench(name, fn, x, flops):
-    f = jax.jit(fn)
-    float(jnp.sum(f(x)) * 0)  # compile via separate trace? no - need forced
-    g = jax.jit(lambda x: jnp.sum(f(x).astype(jnp.float32)))
+    g = jax.jit(lambda x: jnp.sum(fn(x).astype(jnp.float32)))
     float(g(x))
     ts = []
     for i in range(8):

@@ -3,6 +3,8 @@
 Uses deferral-proof forced-fetch timing (see dtt/utils/timing.py and
 CLAUDE.md). Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_pipeline.py
 """
+from dtt.utils.cache import enable_compilation_cache
+enable_compilation_cache()
 import numpy as np, jax, jax.numpy as jnp, time
 from dtt.core.config import Config
 from dtt.core.anchors import grid_anchors_for

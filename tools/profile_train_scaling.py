@@ -3,6 +3,8 @@
 Uses deferral-proof forced-fetch timing (see dtt/utils/timing.py and
 CLAUDE.md). Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_train_scaling.py
 """
+from dtt.utils.cache import enable_compilation_cache
+enable_compilation_cache()
 import numpy as np, jax, jax.numpy as jnp, time
 from dtt.core.config import Config
 from dtt.data.synthetic import synthetic_batch
@@ -10,7 +12,7 @@ from dtt.train.trainer import create_train_state, make_train_step
 
 cfg = Config()
 h, w = cfg.input.canvas_height, cfg.input.canvas_width
-for B in (1, 2, 4):
+for B in (1, 2, 4, 8):
     try:
         batch = synthetic_batch(np.random.RandomState(0), B, h, w,
                                 cfg.model.num_classes, cfg.input.max_gt_boxes)
