@@ -76,10 +76,10 @@ class RoIConfig(_Replaceable):
     bbox_normalize_targets_precomputed: bool = True
     # Position-sensitive grid (R-FCN k=7; D&T paper §3.1)
     ps_grid: int = 7
-    # cfg.POOLING_MODE parity: the R-FCN/D&T architecture pools position-
-    # sensitive maps, so "psroi" is the only mode the detection head consumes;
-    # align/pool/crop exist as ops (dtt.ops.roi_ops) for the faster-rcnn-style
-    # head variant of the jwyang lineage.
+    # cfg.POOLING_MODE parity (ref: jwyang-lineage net modules). "psroi" is
+    # the R-FCN/D&T architecture (position-sensitive k^2 channel groups);
+    # "align"/"pool"/"crop" switch the heads to pooling plain score maps with
+    # the corresponding dtt.ops.roi_ops op (see dtt.models.dnt.pool_vote).
     pooling_mode: str = "psroi"
     class_agnostic: bool = True    # R-FCN bbox head is class-agnostic in the lineage
 
@@ -154,6 +154,10 @@ class TrainConfig(_Replaceable):
     total_steps: int = 120000
     ohem: bool = True
     ohem_top_k: int = 128          # hardest RoIs kept for the cls/box loss
+    # NMS among loss-ranked RoIs before the top-k (R-FCN OHEM practice:
+    # suppress near-duplicate proposals so they don't crowd the hard set).
+    # <= 0 disables and reverts to a raw top-k over per-RoI loss.
+    ohem_nms_thresh: float = 0.7
     seed: int = 3
     checkpoint_every: int = 5000
     log_every: int = 100

@@ -137,8 +137,15 @@ def prepare_pair(entry: dict, cfg: InputConfig) -> dict:
             boxes = fl
         canvas, scale = prepare_frame(entry["paths"][f], cfg, flip=flipped)
         images.append(canvas)
-        im_size = np.array([round(ann["height"] * scale),
-                            round(ann["width"] * scale)], np.float32)
+        if f == 0:
+            im_size = np.array([round(ann["height"] * scale),
+                                round(ann["width"] * scale)], np.float32)
+        else:
+            # frames of a VID snippet share dimensions; a mismatch would make
+            # the single per-pair im_size silently wrong for one frame
+            assert (ann["height"], ann["width"]) == (
+                raw_annots[0]["height"], raw_annots[0]["width"]), (
+                "frame pair with mismatched image extents")
         for b, lab, tid in zip(boxes, ann["labels"], ann["trackids"]):
             slot = slot_of.get(int(tid))
             if slot is None:

@@ -35,10 +35,17 @@ class Tubes(NamedTuple):
     det_in_tube: jnp.ndarray  # (T, N) bool: detection was claimed by a tube
 
 
-def _viterbi_once(boxes, scores, tracked, valid, link_iou_weight):
-    """Best single tube: returns (path (T,), path_score_mean)."""
+def _viterbi_once(boxes, scores, tracked, valid, virtual, link_iou_weight):
+    """Best single tube: returns (path (T,), path_score_mean).
+
+    `virtual` marks skip slots (score 0, zero box): frames with no available
+    detection expose one so a tube can pass through instead of being voided
+    by a single empty frame (advisor finding: one empty keyframe previously
+    killed every tube of the class in the snippet).
+    """
     t, n = scores.shape
-    p = jnp.where(valid, scores, _NEG)
+    p = jnp.where(valid, scores, jnp.where(virtual, 0.0, _NEG))
+    eff_valid = valid | virtual
 
     def step(carry, xs):
         v_prev = carry                      # (N,) best path value ending at i
@@ -51,8 +58,8 @@ def _viterbi_once(boxes, scores, tracked, valid, link_iou_weight):
         back = jnp.argmax(cand, axis=0)
         return v, (v, back)
 
-    v0 = jnp.where(valid[0], 0.0, _NEG)
-    xs = (p[:-1], p[1:], tracked[:-1], boxes[1:], valid[1:])
+    v0 = jnp.where(eff_valid[0], 0.0, _NEG)
+    xs = (p[:-1], p[1:], tracked[:-1], boxes[1:], eff_valid[1:])
     v_last, (vs, backs) = jax.lax.scan(step, v0, xs)
 
     end = jnp.argmax(v_last)
@@ -83,8 +90,13 @@ def link_tubes(boxes: jnp.ndarray,    # (T, N, 4)
     def body(carry, _):
         cur_valid, rescored, in_tube = carry
         any_left = jnp.any(cur_valid)
+        # frames with no available detection expose slot 0 as a virtual
+        # skip (score 0, zero box) so tubes can bridge them; virtual slots
+        # are never claimed or rescored (onehot is masked by cur_valid)
+        frame_empty = ~jnp.any(cur_valid, axis=1)                    # (T,)
+        virtual = frame_empty[:, None] & (jnp.arange(n) == 0)[None, :]
         path, mean_score = _viterbi_once(boxes, scores, tracked, cur_valid,
-                                         link_iou_weight)
+                                         virtual, link_iou_weight)
         tube_ok = any_left & (mean_score > _NEG / 2)
 
         onehot = jax.nn.one_hot(path, n, dtype=bool) & cur_valid  # (T, N)

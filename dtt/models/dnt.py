@@ -35,6 +35,7 @@ from dtt.models.rpn import Proposals, RPNHead, proposal_layer
 from dtt.ops.correlation import correlation
 from dtt.ops.nms import multiclass_nms
 from dtt.ops.psroi import psroi_pool
+from dtt.ops.roi_ops import roi_align, roi_crop, roi_pool
 
 _BACKBONES = {
     "resnet101": (3, 4, 23, 3),
@@ -68,7 +69,11 @@ class DnT(nn.Module):
                                        name="backbone")
         self.rpn = RPNHead(c.anchors.num_anchors, c.rpn.channels, dtype,
                            name="rpn")
-        k2 = c.roi.ps_grid ** 2
+        # cfg.roi.pooling_mode (ref: cfg.POOLING_MODE in the jwyang lineage):
+        # "psroi" heads emit k^2 position-sensitive channel groups; the other
+        # modes (align/pool/crop) pool plain per-class score maps at RoIs, so
+        # their head convs emit one channel group (see rfcn_head).
+        k2 = c.roi.ps_grid ** 2 if c.roi.pooling_mode == "psroi" else 1
         nb = 2 if c.roi.class_agnostic else c.num_classes
         conv = lambda f, std, name: nn.Conv(
             f, (1, 1), kernel_init=nn.initializers.normal(std), dtype=dtype,
@@ -141,12 +146,39 @@ class Detections(NamedTuple):
     bbox_pred: jnp.ndarray   # (N, 4*nb) normalized regression output
 
 
+def pool_vote(cfg: ModelConfig, maps, rois, spatial_scale: float,
+              impl: str = "auto"):
+    """RoI pooling + bin vote per cfg.roi.pooling_mode: (H, W, ·) -> (N, D).
+
+    Dispatches the reference's cfg.POOLING_MODE (ref: jwyang-lineage net
+    modules switching psroi/align/pool/crop):
+    * "psroi" — position-sensitive pooling of k^2-grouped maps (R-FCN path).
+    * "align"/"pool"/"crop" — the corresponding RoI pooling of plain score
+      maps followed by the bin average. For "align"/"crop" (linear samplers)
+      conv-then-pool is mathematically identical to the lineage's
+      pool-then-fc with the same weights (both are linear in features);
+      "pool" (max) votes over max-pooled score-map bins.
+    """
+    k = cfg.roi.ps_grid
+    mode = cfg.roi.pooling_mode
+    if mode == "psroi":
+        pooled = psroi_pool(maps, rois, spatial_scale, k, impl)
+    elif mode == "align":
+        pooled = roi_align(maps, rois, spatial_scale, k)
+    elif mode == "pool":
+        pooled = roi_pool(maps, rois, spatial_scale, k)
+    elif mode == "crop":
+        pooled = roi_crop(maps, rois, spatial_scale, k)
+    else:
+        raise ValueError(f"unknown pooling_mode {mode!r}")
+    return pooled.mean(axis=(1, 2))
+
+
 def rfcn_head(cfg: ModelConfig, cls_maps, bbox_maps, rois,
               spatial_scale: float, impl: str = "auto"):
-    """PSRoI pool + vote: per-RoI class scores and box deltas (single image)."""
-    k = cfg.roi.ps_grid
-    cls_score = psroi_pool(cls_maps, rois, spatial_scale, k, impl).mean(axis=(1, 2))
-    bbox_pred = psroi_pool(bbox_maps, rois, spatial_scale, k, impl).mean(axis=(1, 2))
+    """RoI pool + vote: per-RoI class scores and box deltas (single image)."""
+    cls_score = pool_vote(cfg, cls_maps, rois, spatial_scale, impl)
+    bbox_pred = pool_vote(cfg, bbox_maps, rois, spatial_scale, impl)
     return cls_score, bbox_pred
 
 
@@ -195,9 +227,8 @@ def detect_frames_batched(cfg: ModelConfig, feats: FrameFeats,
 def track_rois_batched(cfg: ModelConfig, track_maps: jnp.ndarray,
                        rois: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W, k^2*4), (B, N, 4) -> (B, N, 4) tracking deltas."""
-    k = cfg.roi.ps_grid
     spatial_scale = 1.0 / cfg.anchors.feat_stride
-    fn = lambda m, r: psroi_pool(m, r, spatial_scale, k).mean(axis=(1, 2))
+    fn = lambda m, r: pool_vote(cfg, m, r, spatial_scale)
     return jax.vmap(fn)(track_maps, rois)
 
 
@@ -219,10 +250,9 @@ def decode_detections_batched(cfg: ModelConfig, det: Detections,
 
 def track_rois(cfg: ModelConfig, track_maps: jnp.ndarray, rois: jnp.ndarray,
                frame_idx: int = 0) -> jnp.ndarray:
-    """PSRoI-pooled tracking displacement for frame-t RoIs: (N, 4) deltas."""
-    k = cfg.roi.ps_grid
+    """RoI-pooled tracking displacement for frame-t RoIs: (N, 4) deltas."""
     spatial_scale = 1.0 / cfg.anchors.feat_stride
-    return psroi_pool(track_maps[frame_idx], rois, spatial_scale, k).mean(axis=(1, 2))
+    return pool_vote(cfg, track_maps[frame_idx], rois, spatial_scale)
 
 
 def decode_frame_detections(cfg: ModelConfig, det: Detections,

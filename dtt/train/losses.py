@@ -23,6 +23,7 @@ from dtt.models import rpn as rpn_lib
 from dtt.models import targets as tgt_lib
 from dtt.models.dnt import DnT, FrameFeats, rfcn_head, track_rois
 from dtt.models.rpn import proposal_layer, rpn_loss, smooth_l1
+from dtt.ops.nms import nms_padded
 
 
 class LossBreakdown(NamedTuple):
@@ -53,8 +54,20 @@ def _rfcn_losses(cfg: Config, cls_score, bbox_pred, tgts: tgt_lib.RoITargets):
     per_roi = jnp.where(tgts.valid, ce + box, 0.0)
     if cfg.train.ohem:
         k = min(cfg.train.ohem_top_k, per_roi.shape[0])
-        vals, idx = jax.lax.top_k(jnp.where(tgts.valid, per_roi, -jnp.inf), k)
-        sel = jnp.zeros_like(tgts.valid).at[idx].set(True) & tgts.valid
+        if cfg.train.ohem_nms_thresh > 0:
+            # R-FCN OHEM practice: NMS over loss-ranked RoIs first, so a
+            # cluster of near-duplicate proposals on one hard object cannot
+            # crowd out other hard examples (ref: R-FCN paper §3 "OHEM" —
+            # NMS with 0.7 on the loss-sorted RoIs before selecting top-B)
+            keep_idx, keep_valid = nms_padded(
+                tgts.rois, per_roi, cfg.train.ohem_nms_thresh, k,
+                valid=tgts.valid, score_threshold=-0.5)
+            sel = (jnp.zeros_like(tgts.valid).at[keep_idx]
+                   .max(keep_valid)) & tgts.valid
+        else:
+            vals, idx = jax.lax.top_k(
+                jnp.where(tgts.valid, per_roi, -jnp.inf), k)
+            sel = jnp.zeros_like(tgts.valid).at[idx].set(True) & tgts.valid
         sel = jax.lax.stop_gradient(sel)
         denom = jnp.maximum(jnp.sum(sel), 1.0)
         cls_loss = jnp.sum(jnp.where(sel, ce, 0.0)) / denom

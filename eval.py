@@ -37,6 +37,11 @@ def parse_args():
                         "tau>1 implies --link + tube interpolation")
     p.add_argument("--out", default=None, help="detections pickle path")
     p.add_argument("--max-snippets", type=int, default=None)
+    p.add_argument("--eval-protocol", choices=("devkit", "flat"),
+                   default="devkit",
+                   help="devkit: size-adaptive IoU threshold (ImageNet "
+                        "eval_vid rule, the paper-number protocol); "
+                        "flat: fixed IoU 0.5")
     return p.parse_args()
 
 
@@ -80,6 +85,32 @@ def snippet_stream_synthetic(cfg, n_snippets):
                (gt_boxes, gt_labels, gt_valid))
 
 
+def snippet_gt_arrays(annots, scale: float):
+    """Track-aligned gt arrays for one snippet, sized to the TRUE track count.
+
+    Ground truth is host-side only (the device path never sees it), so gt
+    slots grow with the snippet — crowded snippets (>input.max_gt_boxes
+    tracks) are never truncated, which would silently inflate mAP.
+    Returns (gt_boxes (T, G, 4), gt_labels (G,), gt_valid (T, G)).
+    """
+    tid_slot = {}
+    for ann in annots:
+        for tid in ann["trackids"]:
+            tid_slot.setdefault(int(tid), len(tid_slot))
+    t_len = len(annots)
+    g = max(len(tid_slot), 1)
+    gt_boxes = np.zeros((t_len, g, 4), np.float32)
+    gt_labels = np.zeros((g,), np.int32)
+    gt_valid = np.zeros((t_len, g), bool)
+    for t, ann in enumerate(annots):
+        for b, lab, tid in zip(ann["boxes"], ann["labels"], ann["trackids"]):
+            slot = tid_slot[int(tid)]
+            gt_boxes[t, slot] = np.asarray(b, np.float32) * scale
+            gt_labels[slot] = lab
+            gt_valid[t, slot] = True
+    return gt_boxes, gt_labels, gt_valid
+
+
 def snippet_stream_vid(cfg, args):
     from dtt.data.imdb import get_dataset
     import dtt.data.imagenet_vid  # noqa: F401
@@ -88,28 +119,16 @@ def snippet_stream_vid(cfg, args):
     for i, sn in enumerate(ds.snippets):
         if args.max_snippets and i >= args.max_snippets:
             return
-        imgs, scales = [], []
-        g = cfg.input.max_gt_boxes
-        t_len = len(sn.frames)
-        gt_boxes = np.zeros((t_len, g, 4), np.float32)
-        gt_labels = np.zeros((g,), np.int32)
-        gt_valid = np.zeros((t_len, g), bool)
-        tid_slot = {}
+        imgs = []
         im_hw = None
-        for t, (path, ann) in enumerate(zip(sn.frames, sn.annots)):
+        scale = 1.0
+        for path, ann in zip(sn.frames, sn.annots):
             img, scale = prepare_image(path, cfg.input)
             imgs.append(img)
             im_hw = (round(ann["height"] * scale), round(ann["width"] * scale))
-            for b, lab, tid in zip(ann["boxes"], ann["labels"],
-                                   ann["trackids"]):
-                slot = tid_slot.setdefault(int(tid), len(tid_slot))
-                if slot >= g:
-                    continue
-                gt_boxes[t, slot] = b * scale
-                gt_labels[slot] = lab
-                gt_valid[t, slot] = True
         yield (os.path.basename(os.path.dirname(sn.frames[0])),
-               np.stack(imgs), im_hw, scale, (gt_boxes, gt_labels, gt_valid))
+               np.stack(imgs), im_hw, scale,
+               snippet_gt_arrays(sn.annots, scale))
 
 
 def main():
@@ -180,10 +199,11 @@ def main():
 
     names = CLASS_NAMES if num_classes == 31 else None
     result = eval_detections(all_dets, all_gts, num_classes,
-                             class_names=names)
+                             class_names=names, protocol=args.eval_protocol)
     per_class = {f"class_{c}": (None if np.isnan(a) else round(a, 4))
                  for c, a in result["ap"].items()}
-    print(json.dumps({"mAP": round(result["map"], 4), **per_class}))
+    print(json.dumps({"mAP": round(result["map"], 4),
+                      "protocol": args.eval_protocol, **per_class}))
 
 
 if __name__ == "__main__":

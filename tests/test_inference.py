@@ -111,3 +111,37 @@ def test_video_step_matches_pair_step(setup):
                           ("boxes", "scores", "valid", "tracked")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("mode", ["align", "pool", "crop"])
+def test_pooling_mode_dispatch(mode):
+    """cfg.roi.pooling_mode switches the live head (ref cfg.POOLING_MODE):
+    the non-psroi modes pool plain score maps and must run end-to-end."""
+    cfg = tiny_config()
+    cfg = cfg.replace(
+        model=cfg.model.replace(roi=cfg.model.roi.replace(pooling_mode=mode)),
+        input=cfg.input.replace(canvas_height=64, canvas_width=96,
+                                max_gt_boxes=4))
+    model = make_model(cfg.model)
+    pairs = jnp.asarray(np.random.RandomState(2)
+                        .randn(1, 2, 64, 96, 3).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), pairs)
+    # head convs emit ONE channel group in non-psroi modes
+    kern = params["params"]["cls_maps"]["kernel"]
+    assert kern.shape[-1] == cfg.model.num_classes
+    step = make_pair_step(cfg, model)
+    out = step(params, pairs, jnp.asarray([64.0, 96.0]), jnp.float32(1.0))
+    assert np.isfinite(np.asarray(out.scores)).all()
+    assert np.isfinite(np.asarray(out.tracked)).all()
+
+    # and the training path (targets + OHEM + backward) compiles and is finite
+    from dtt.data.synthetic import synthetic_batch
+    from dtt.train.trainer import create_train_state, make_train_step
+    batch = synthetic_batch(np.random.RandomState(0), 1, 64, 96,
+                            cfg.model.num_classes, cfg.input.max_gt_boxes)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    model2, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                       batch["images"][:1])
+    tstep = make_train_step(cfg, model2, (4, 6))
+    state, metrics = tstep(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total"]))

@@ -126,3 +126,37 @@ def test_link_all_classes_shape(rng):
     out = link_all_classes(cb, cs, ct, cv, max_tubes=4)
     assert out.det_idx.shape == (3, 4, 3)
     assert out.rescored.shape == (3, 3, 4)
+
+
+def test_tube_bridges_empty_frame():
+    """A frame with zero valid detections must not void the class's tubes
+    (advisor finding): the tube passes through a virtual skip slot and the
+    real detections on both sides still get linked and rescored."""
+    t, n = 5, 2
+    boxes = np.tile(np.array([10, 10, 40, 40], np.float32), (t, n, 1))
+    scores = np.full((t, n), 0.8, np.float32)
+    scores[0, 0] = 0.9
+    tracked = boxes.copy()
+    valid = np.ones((t, n), bool)
+    valid[2] = False  # middle frame: no detections at all
+    out = link_tubes(jnp.asarray(boxes), jnp.asarray(scores),
+                     jnp.asarray(tracked), jnp.asarray(valid), max_tubes=1)
+    assert bool(out.tube_valid[0]), "tube must survive the empty frame"
+    in_tube = np.asarray(out.det_in_tube)
+    # claimed on both sides of the gap, never inside it
+    assert in_tube[0].any() and in_tube[3].any() and in_tube[4].any()
+    assert not in_tube[2].any()
+    # rescoring reached the far side of the gap
+    rescored = np.asarray(out.rescored)
+    assert rescored[4].max() >= 0.8
+
+
+def test_all_frames_empty_yields_no_tubes():
+    t, n = 3, 2
+    boxes = np.zeros((t, n, 4), np.float32)
+    scores = np.zeros((t, n), np.float32)
+    valid = np.zeros((t, n), bool)
+    out = link_tubes(jnp.asarray(boxes), jnp.asarray(scores),
+                     jnp.asarray(boxes), jnp.asarray(valid), max_tubes=3)
+    assert not np.asarray(out.tube_valid).any()
+    assert not np.asarray(out.det_in_tube).any()

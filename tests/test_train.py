@@ -120,3 +120,37 @@ def test_frozen_params_never_updated():
             n_decayed += 1
     assert n_frozen > 0 and n_bad == 0
     assert n_decayed > 0  # weight decay still reaches trainable params
+
+
+def test_ohem_nms_dedup_prevents_duplicate_crowding():
+    """With ohem_nms_thresh, near-duplicate high-loss RoIs collapse to one
+    hard example; a raw top-k would fill the budget with the duplicates."""
+    from dtt.models.targets import RoITargets
+    from dtt.train.losses import _rfcn_losses
+
+    cfg = tiny_config(ohem=True)
+    cfg = cfg.replace(train=cfg.train.replace(ohem_top_k=2))
+    big = np.float32(8.0)    # CE of the duplicated hard RoI (logit margin)
+    mid = np.float32(3.0)    # CE of the distinct medium RoI
+
+    # 3 identical boxes with the big loss + 1 distinct box with medium loss
+    rois = jnp.asarray([[10, 10, 30, 30], [10, 10, 30, 30],
+                        [10, 10, 30, 30], [60, 10, 90, 40]], jnp.float32)
+    labels = jnp.zeros((4,), jnp.int32)  # all labeled background
+    # binary-ish logits: CE(label 0) = log(1 + e^margin) ~= margin for big
+    margins = jnp.asarray([big, big, big, mid])
+    cls_score = jnp.stack([jnp.zeros(4), margins], axis=1)  # (4, C=2)
+    ce = np.log1p(np.exp(np.asarray(margins)))
+    tgts = RoITargets(
+        rois=rois, labels=labels, valid=jnp.ones(4, bool),
+        bbox_targets=jnp.zeros((4, 4)), bbox_weights=jnp.zeros(4),
+        track_targets=jnp.zeros((4, 4)), track_weights=jnp.zeros(4))
+
+    cls_dedup, _ = _rfcn_losses(cfg, cls_score, jnp.zeros((4, 8)), tgts)
+    cfg_raw = cfg.replace(train=cfg.train.replace(ohem_nms_thresh=0.0))
+    cls_raw, _ = _rfcn_losses(cfg_raw, cls_score, jnp.zeros((4, 8)), tgts)
+
+    # raw top-2 = two duplicates -> mean = ce_big;
+    # dedup = one duplicate + the distinct RoI -> mean = (ce_big + ce_mid)/2
+    np.testing.assert_allclose(float(cls_raw), ce[0], rtol=1e-5)
+    np.testing.assert_allclose(float(cls_dedup), (ce[0] + ce[3]) / 2, rtol=1e-5)

@@ -2,7 +2,8 @@
 
 import numpy as np
 
-from dtt.eval.vid_eval import average_precision, eval_class, eval_detections
+from dtt.eval.vid_eval import (average_precision, eval_class, eval_detections,
+                               gt_iou_thresholds)
 
 
 def test_perfect_detections():
@@ -67,3 +68,50 @@ def test_class_without_gt_is_excluded_from_map():
     out = eval_detections(dets, {1: gts1}, num_classes=4)
     assert np.isnan(out["ap"][2]) and np.isnan(out["ap"][3])
     assert out["map"] == 1.0
+
+
+def test_gt_absent_class_with_detections_is_excluded():
+    """False positives for a gt-absent class must not deflate mAP (devkit
+    convention; previously returned AP=0 and dragged the mean down)."""
+    gts1 = {0: np.array([[0, 0, 10, 10]], float)}
+    dets = {1: [(0, 0.9, [0, 0, 10, 10])],
+            2: [(0, 0.8, [50, 50, 70, 70])]}   # class 2 has no gt anywhere
+    out = eval_detections(dets, {1: gts1}, num_classes=3)
+    assert np.isnan(out["ap"][2])
+    assert out["map"] == 1.0
+
+
+def test_devkit_thresholds_hand_computed():
+    # box (0,0,4,4): w=h=5 -> 25/(15*15) = 1/9; large box stays at 0.5
+    boxes = np.array([[0, 0, 4, 4], [0, 0, 99, 99]], float)
+    thr = gt_iou_thresholds(boxes)
+    assert abs(thr[0] - 25.0 / 225.0) < 1e-12
+    assert thr[1] == 0.5
+    flat = gt_iou_thresholds(boxes, protocol="flat")
+    assert flat[0] == 0.5 and flat[1] == 0.5
+
+
+def test_devkit_relaxes_small_boxes():
+    """A loose detection on a tiny gt matches under devkit but not flat 0.5.
+
+    gt (0,0,4,4) 5x5 px, det (2,2,6,6): inter 3x3=9, union 25+25-9=41,
+    IoU = 9/41 = 0.2195; devkit threshold 25/225 = 0.111.
+    """
+    gts = {0: np.array([[0, 0, 4, 4]], float)}
+    dets = [(0, 0.9, [2, 2, 6, 6])]
+    ap_devkit, _, _ = eval_class(dets, gts, protocol="devkit")
+    ap_flat, _, _ = eval_class(dets, gts, protocol="flat")
+    assert ap_devkit == 1.0
+    assert ap_flat == 0.0
+
+
+def test_devkit_threshold_is_per_matched_gt():
+    """The threshold comes from the argmax-overlap gt, not a global min."""
+    # one tiny gt (relaxed thr) and one large gt (0.5 thr) in the same frame;
+    # a det overlapping the LARGE one at IoU 0.4 must stay a FP
+    gts = {0: np.array([[0, 0, 4, 4], [100, 100, 199, 199]], float)}
+    # det inside the large gt: inter 100x40 = 4000, union 10000 -> IoU 0.4,
+    # below the large gt's 0.5 threshold (its devkit thr is min(0.5, 0.826))
+    dets = [(0, 0.9, [100, 100, 199, 139])]
+    ap, _, _ = eval_class(dets, gts, protocol="devkit")
+    assert ap == 0.0
