@@ -23,12 +23,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def initialize_distributed(coordinator: str | None = None,
                            num_processes: int | None = None,
-                           process_id: int | None = None) -> None:
-    """Multi-host init (DCN). No-op on a single process without arguments."""
+                           process_id: int | None = None,
+                           cpu_collectives: str | None = None) -> None:
+    """Multi-host init (DCN). No-op on a single process without arguments.
+
+    `cpu_collectives` selects the CPU cross-process collective backend
+    (e.g. "gloo") for CPU-device testing of the multi-host path; leave None
+    on TPU, where collectives ride ICI/DCN natively.
+    """
     if coordinator is None and num_processes is None:
         import os
         if "JAX_COORDINATOR_ADDRESS" not in os.environ:
             return  # single-host run
+    if cpu_collectives:
+        jax.config.update("jax_cpu_collectives_implementation", cpu_collectives)
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)

@@ -168,6 +168,28 @@ def make_parallel_train_step(cfg: Config, model: DnT, feat_hw: tuple[int, int],
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch dict onto the mesh, sharded along `data`."""
+    """Place a host batch dict onto the mesh, sharded along `data`.
+
+    Single-process: device_put of the full batch. Multi-process (DCN): each
+    process passes its LOCAL rows; jax assembles the global array across
+    hosts (SURVEY §2c — the same mesh code spans hosts).
+    """
     sh = NamedSharding(mesh, P("data"))
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+                for k, v in batch.items()}
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def replicate_tree(tree, mesh: Mesh):
+    """Make a host-identical pytree a globally-replicated jax array tree.
+
+    Multi-process: every process must hold the SAME host values (e.g. a
+    deterministic init); single-process this is a plain replicated
+    device_put."""
+    repl = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                repl, np.asarray(x), global_shape=np.shape(x)), tree)
+    return jax.device_put(tree, repl)
