@@ -5,9 +5,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Measures the full flagship pipeline in video mode — per-frame ResNet-101
 features shared across adjacent pairs (dtt.eval.inference.make_video_step),
 RPN + proposal NMS, R-FCN PSRoI heads, 3-scale correlation, tracking head,
-per-class decode+NMS, all vmapped across the frame chunk — at the
-production 608x1088 canvas. This is the deployment shape for VID snippets;
-the independent-pair path measures ~96-99 pairs/s.
+per-class decode+NMS, all batched across the frame chunk — at the
+production 608x1088 canvas. This is the deployment shape for VID snippets.
+Round-2 state: batch-folded PSRoI gathers, banded-matmul (MXU) correlation,
+multi-select while-loop NMS, 16-pair chunks -> 142.8 pairs/s/chip
+(round 1: 101.9 at 8-pair chunks with vmapped gathers + pallas
+correlation).
 
 Timing methodology: this machine's tunneled TPU runtime defers programs
 until a result is demanded, so every timed call fetches a scalar reduction
@@ -29,7 +32,7 @@ import time
 import numpy as np
 
 ASSUMED_A100_REFERENCE_PAIRS_PER_SEC = 15.0
-CHUNK = 9  # frames per step -> CHUNK-1 frame pairs
+CHUNK = 17  # frames per step -> CHUNK-1 frame pairs
 
 
 def main():

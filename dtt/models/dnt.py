@@ -34,7 +34,7 @@ from dtt.models.resnet import ResNetBackbone
 from dtt.models.rpn import Proposals, RPNHead, proposal_layer
 from dtt.ops.correlation import correlation
 from dtt.ops.nms import multiclass_nms
-from dtt.ops.psroi import psroi_pool
+from dtt.ops.psroi import psroi_pool, psroi_pool_batched
 from dtt.ops.roi_ops import roi_align, roi_crop, roi_pool
 
 _BACKBONES = {
@@ -174,6 +174,20 @@ def pool_vote(cfg: ModelConfig, maps, rois, spatial_scale: float,
     return pooled.mean(axis=(1, 2))
 
 
+def pool_vote_batched(cfg: ModelConfig, maps, rois, spatial_scale: float):
+    """Frame-batched pool_vote: (B, H, W, ·), (B, N, 4) -> (B, N, D).
+
+    psroi mode uses the batch-folded flat gather (psroi_pool_batched) —
+    vmapping the per-frame form turns its gather multi-axis, the known slow
+    path on TPU; other pooling modes vmap their per-frame op.
+    """
+    if cfg.roi.pooling_mode == "psroi":
+        return psroi_pool_batched(maps, rois, spatial_scale,
+                                  cfg.roi.ps_grid).mean(axis=(2, 3))
+    return jax.vmap(lambda m, r: pool_vote(cfg, m, r, spatial_scale)
+                    )(maps, rois)
+
+
 def rfcn_head(cfg: ModelConfig, cls_maps, bbox_maps, rois,
               spatial_scale: float, impl: str = "auto"):
     """RoI pool + vote: per-RoI class scores and box deltas (single image)."""
@@ -211,25 +225,27 @@ def detect_frames_batched(cfg: ModelConfig, feats: FrameFeats,
     """
     spatial_scale = 1.0 / cfg.anchors.feat_stride
 
-    def one(rpn_cls, rpn_bbox, cls_maps, bbox_maps):
-        props = proposal_layer(rpn_cls, rpn_bbox, anchors,
-                               im_height, im_width, im_scale, cfg.rpn, train)
-        cls_score, bbox_pred = rfcn_head(cfg, cls_maps, bbox_maps, props.rois,
-                                         spatial_scale)
-        return props, Detections(rois=props.rois, roi_valid=props.valid,
-                                 cls_prob=jax.nn.softmax(cls_score, axis=-1),
-                                 bbox_pred=bbox_pred)
+    def proposals_one(rpn_cls, rpn_bbox):
+        return proposal_layer(rpn_cls, rpn_bbox, anchors,
+                              im_height, im_width, im_scale, cfg.rpn, train)
 
-    return jax.vmap(one)(feats.rpn_cls, feats.rpn_bbox,
-                         feats.cls_maps, feats.bbox_maps)
+    props = jax.vmap(proposals_one)(feats.rpn_cls, feats.rpn_bbox)
+    # heads pooled with the batch-folded gather, NOT under the vmap (see
+    # pool_vote_batched)
+    cls_score = pool_vote_batched(cfg, feats.cls_maps, props.rois,
+                                  spatial_scale)
+    bbox_pred = pool_vote_batched(cfg, feats.bbox_maps, props.rois,
+                                  spatial_scale)
+    return props, Detections(rois=props.rois, roi_valid=props.valid,
+                             cls_prob=jax.nn.softmax(cls_score, axis=-1),
+                             bbox_pred=bbox_pred)
 
 
 def track_rois_batched(cfg: ModelConfig, track_maps: jnp.ndarray,
                        rois: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W, k^2*4), (B, N, 4) -> (B, N, 4) tracking deltas."""
     spatial_scale = 1.0 / cfg.anchors.feat_stride
-    fn = lambda m, r: pool_vote(cfg, m, r, spatial_scale)
-    return jax.vmap(fn)(track_maps, rois)
+    return pool_vote_batched(cfg, track_maps, rois, spatial_scale)
 
 
 def decode_detections_batched(cfg: ModelConfig, det: Detections,

@@ -17,7 +17,7 @@ import flax.linen as nn
 
 from dtt.core import boxes as box_ops
 from dtt.core.config import RPNConfig
-from dtt.ops.nms import nms_padded
+from dtt.ops.nms import nms_padded, nms_padded_fast
 
 
 class RPNHead(nn.Module):
@@ -84,9 +84,12 @@ def proposal_layer(rpn_cls: jnp.ndarray,     # (H, W, 2A)
 
     top_scores, top_idx = jax.lax.top_k(scores, k_pre)
     top_boxes = proposals[top_idx]
-    keep_idx, keep_valid = nms_padded(top_boxes, top_scores, cfg.nms_thresh,
-                                      k_post, valid=top_scores >= 0.0,
-                                      score_threshold=-0.5)
+    # train keeps the fori_loop NMS (reverse-differentiable); eval uses the
+    # multi-select while-loop form (identical decisions, fewer serial steps)
+    nms = nms_padded if train else nms_padded_fast
+    keep_idx, keep_valid = nms(top_boxes, top_scores, cfg.nms_thresh,
+                               k_post, valid=top_scores >= 0.0,
+                               score_threshold=-0.5)
     rois = top_boxes[keep_idx] * keep_valid[:, None]
     out_scores = jnp.where(keep_valid, top_scores[keep_idx], 0.0)
     return Proposals(rois=rois, scores=out_scores, valid=keep_valid)

@@ -45,6 +45,40 @@ def num_corr_channels(max_displacement: int, stride: int) -> int:
     return len(_offsets(max_displacement, stride)) ** 2
 
 
+def correlation_mm(f1: jnp.ndarray, f2: jnp.ndarray,
+                   max_displacement: int = 8, stride: int = 2) -> jnp.ndarray:
+    """MXU (banded-matmul) correlation. (H, W, C) x2 -> (H, W, D^2).
+
+    For each row y and vertical displacement dy, the row-vs-shifted-row
+    product matrix Cm[y] = f1[y] @ f2[y+dy]^T (a (W, C) x (C, W+2d) matmul
+    — MXU work) contains every horizontal displacement as a diagonal; the
+    needed diagonals are extracted with a constant 0/1 selection
+    contraction (no gathers). ~(2d/s+1) x FLOP overcompute vs the pointwise
+    form, but MXU FLOPs are ~20x cheaper than VPU ones, and the whole op
+    becomes two dense contractions per dy instead of 81 shifted
+    multiply-reduces.
+    """
+    h, w, c = f1.shape
+    d = max_displacement
+    offs = _offsets(d, stride)
+    nd = len(offs)
+    v = w + 2 * d
+    f2p = jnp.pad(f2, ((d, d), (d, d), (0, 0)))
+    # sel[x, vv, i] = 1 iff vv == x + offs[i] + d  (diagonal selector)
+    sel = (jnp.arange(v)[None, :, None]
+           == jnp.arange(w)[:, None, None]
+           + (jnp.asarray(offs) + d)[None, None, :]).astype(jnp.float32)
+    outs = []
+    for dy in offs:
+        b = jax.lax.slice(f2p, (d + dy, 0, 0), (d + dy + h, v, c))
+        cm = jnp.einsum("ywc,yvc->ywv", f1, b,
+                        preferred_element_type=jnp.float32)   # (H, W, V)
+        outs.append(jnp.einsum("ywv,wvj->ywj", cm, sel,
+                               precision=jax.lax.Precision.HIGHEST))
+    out = jnp.concatenate(outs, axis=-1)                      # dy-major order
+    return (out / jnp.float32(c)).astype(f1.dtype)
+
+
 def correlation_xla(f1: jnp.ndarray, f2: jnp.ndarray,
                     max_displacement: int = 8, stride: int = 2) -> jnp.ndarray:
     """Shifted multiply-reduce correlation. (H, W, C) x2 -> (H, W, D^2)."""
@@ -139,12 +173,22 @@ correlation_pallas.defvjp(_corr_fwd, _corr_bwd)
 
 def correlation(f1, f2, max_displacement: int = 8, stride: int = 2,
                 impl: str = "auto") -> jnp.ndarray:
-    """Dispatching entry point; (H, W, C) x2 -> (H, W, (2d/s+1)^2)."""
+    """Dispatching entry point; (H, W, C) x2 -> (H, W, (2d/s+1)^2).
+
+    auto on TPU = "mm" (banded-matmul MXU form). v5e, 8-frame vmapped bf16
+    chunks (tools/bench_correlation.py):
+      c4/c5 38x68x1024: mm 1.53 ms vs pallas 3.6 ms (xla form exceeds the
+      compile service limits at this shape); c3p 19x34x512: mm 0.27 ms vs
+      pallas 0.33 ms, xla 2.0 ms.
+    The Pallas kernel and the XLA shifted form remain as oracles/options.
+    """
     assert f1.shape == f2.shape, (f1.shape, f2.shape)
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = "mm" if jax.default_backend() == "tpu" else "xla"
     if impl == "xla":
         return correlation_xla(f1, f2, max_displacement, stride)
+    if impl == "mm":
+        return correlation_mm(f1, f2, max_displacement, stride)
     if impl == "pallas":
         return correlation_pallas(f1, f2, max_displacement, stride)
     raise ValueError(f"unknown correlation impl {impl!r}")

@@ -71,6 +71,68 @@ def nms_padded(boxes: jnp.ndarray,
     return keep_idx, keep_valid
 
 
+@functools.partial(jax.jit, static_argnames=("max_outputs", "select_block"))
+def nms_padded_fast(boxes: jnp.ndarray,
+                    scores: jnp.ndarray,
+                    iou_threshold,
+                    max_outputs: int,
+                    valid: jnp.ndarray | None = None,
+                    score_threshold=_NEG / 2,
+                    select_block: int = 16):
+    """Greedy NMS with multi-selection: EXACT nms_padded semantics, fewer
+    serial steps (inference path).
+
+    Each while-loop iteration takes the top `select_block` remaining
+    candidates, resolves their mutual suppression with an unrolled
+    mini-greedy over the tiny B×B IoU matrix (processing in descending
+    score order — identical decisions to one-at-a-time greedy), commits the
+    survivors, and masks everything they suppress. The loop runs until the
+    output budget fills or scores are exhausted — typically ~B× fewer
+    dependent steps than the one-per-iteration fori_loop form.
+
+    NOT reverse-differentiable (lax.while_loop): use in inference paths
+    only; the train-time proposal layer keeps the fori_loop form.
+    """
+    kcount = boxes.shape[0]
+    m = min(select_block, max_outputs, kcount)
+    s0 = scores.astype(jnp.float32)
+    if valid is not None:
+        s0 = jnp.where(valid, s0, _NEG)
+
+    def cond(carry):
+        s, idx, val, count = carry
+        return (count < max_outputs) & (jnp.max(s) > score_threshold)
+
+    def body(carry):
+        s, idx, val, count = carry
+        top_s, top_i = jax.lax.top_k(s, m)                  # descending
+        kb = boxes[top_i]                                   # (M, 4)
+        iou_m = box_ops.pairwise_iou(kb, kb)                # (M, M)
+        ok = top_s > score_threshold
+        keep = jnp.zeros((m,), bool)
+        for j in range(m):                                  # unrolled: tiny
+            sup = jnp.any(keep[:j] & (iou_m[:j, j] > iou_threshold)) if j else False
+            keep = keep.at[j].set(ok[j] & ~sup)
+        # budget: only the first (max_outputs - count) survivors fit
+        pos = count + jnp.cumsum(keep) - keep.astype(jnp.int32)
+        keep = keep & (pos < max_outputs)
+        slot = jnp.where(keep, pos, max_outputs)            # OOB rows dropped
+        idx = idx.at[slot].set(top_i.astype(jnp.int32), mode="drop")
+        val = val.at[slot].set(True, mode="drop")
+        # suppress everything the committed boxes overlap (incl. themselves)
+        iou_all = box_ops.pairwise_iou(kb, boxes)           # (M, K)
+        sup_all = jnp.any(keep[:, None] & (iou_all > iou_threshold), axis=0)
+        s = jnp.where(sup_all, _NEG, s)
+        # retire committed boxes even at iou_threshold >= 1 (self-IoU == 1)
+        s = s.at[top_i].set(jnp.where(keep, _NEG, s[top_i]))
+        return s, idx, val, count + jnp.sum(keep)
+
+    init = (s0, jnp.zeros((max_outputs,), jnp.int32),
+            jnp.zeros((max_outputs,), bool), jnp.int32(0))
+    _, keep_idx, keep_valid, _ = jax.lax.while_loop(cond, body, init)
+    return keep_idx, keep_valid
+
+
 def nms_gather(boxes, scores, iou_threshold, max_outputs, valid=None,
                score_threshold=_NEG / 2):
     """NMS returning gathered (boxes, scores, valid) instead of indices."""
@@ -111,8 +173,9 @@ def multiclass_nms(boxes: jnp.ndarray,
     valid_t = None if valid is None else jnp.broadcast_to(valid[None], scores_t.shape)
 
     def one_class(b, s, v):
-        idx, keep_valid = nms_padded(b, s, iou_threshold, max_per_class, v,
-                                     score_threshold)
+        # eval-only path: the multi-select while-loop NMS (exact greedy)
+        idx, keep_valid = nms_padded_fast(b, s, iou_threshold, max_per_class,
+                                          v, score_threshold)
         kept_boxes = b[idx] * keep_valid[:, None].astype(b.dtype)
         kept_scores = jnp.where(keep_valid, s[idx], 0.0)
         return kept_boxes, kept_scores, keep_valid, idx

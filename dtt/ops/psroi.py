@@ -23,10 +23,18 @@ score map turns every bin average into 4 gathered corners — O(HWC) setup +
 O(N*k^2*D) gathers, instead of re-reading each RoI's pixels.
 
 * `psroi_pool_xla` — pure-XLA gathers; fully differentiable.
+* `psroi_pool_mm` / `psroi_pool_pallas_mm` — matmul (MXU) formulation: the
+  4-corner SAT difference is a bilinear form over one-hot row/col indicator
+  vectors, so all RoIs of a bin become two dense contractions (see the
+  "Matmul formulation" section). The Pallas variant runs one program per
+  bin, rows contracted on the MXU.
 * `psroi_pool_pallas` — Pallas kernel gridded over the k×k bins: each program
   keeps its bin's (H+1, W+1, D) SAT slab in VMEM and resolves all N RoIs with
-  scalar-prefetched integer bounds from SMEM. Backward is pinned to the XLA
-  formulation via custom_vjp (transpose of gather = scatter-add).
+  scalar-prefetched integer bounds from SMEM (serial per-RoI loop).
+
+Backward of both Pallas kernels is pinned to the XLA formulation via
+custom_vjp (transpose of gather = scatter-add). See `psroi_pool` for
+measured times; "auto" = the XLA gather form.
 """
 
 from __future__ import annotations
@@ -108,6 +116,188 @@ def psroi_pool_xla(features: jnp.ndarray, rois: jnp.ndarray,
                                  total / jnp.maximum(area[:, None], 1.0), 0.0))
         outs.append(jnp.stack(row, axis=1))          # (N, k, D)
     return jnp.stack(outs, axis=1).astype(features.dtype)  # (N, k, k, D)
+
+
+def psroi_pool_batched(features: jnp.ndarray, rois: jnp.ndarray,
+                       spatial_scale: float, group_size: int) -> jnp.ndarray:
+    """Frame-batched PSRoI pooling: (B, H, W, k*k*D), (B, N, 4) -> (B, N, k, k, D).
+
+    NOT a vmap of the per-frame form: under vmap the flattened single-axis
+    gather acquires a batch dimension and XLA lowers it as a slow
+    multi-axis gather (measured 5.6 ms vs 4.9 ms for the production cls
+    head, and the in-pipeline gap is larger). Here the batch is folded into
+    the gather index (b*(H+1)*(W+1) offset) so the hot path stays one flat
+    single-axis gather. Differentiable (transpose of gather).
+    """
+    b, h, w, c = features.shape
+    k = group_size
+    d = c // (k * k)
+    n = rois.shape[1]
+    assert d * k * k == c, f"channels {c} not divisible by k^2={k * k}"
+    hs, he, ws, we = jax.vmap(
+        lambda r: _roi_bounds(r, spatial_scale, k, h, w))(rois)  # (B, N, k)
+    sat = jax.vmap(_sat)(features)                    # (B, H+1, W+1, C)
+    h1, w1 = h + 1, w + 1
+    base = (jnp.arange(b) * (h1 * w1))[:, None]       # (B, 1)
+
+    outs = []
+    for ph in range(k):
+        row = []
+        for pw in range(k):
+            off = (ph * k + pw) * d
+            flat = jax.lax.slice_in_dim(sat, off, off + d, axis=3)
+            flat = flat.reshape(b * h1 * w1, d)
+            a, bb = hs[:, :, ph], he[:, :, ph]
+            c0, c1 = ws[:, :, pw], we[:, :, pw]
+            i00 = (base + a * w1 + c0).reshape(-1)
+            i01 = (base + a * w1 + c1).reshape(-1)
+            i10 = (base + bb * w1 + c0).reshape(-1)
+            i11 = (base + bb * w1 + c1).reshape(-1)
+            total = flat[i11] - flat[i01] - flat[i10] + flat[i00]
+            area = ((bb - a) * (c1 - c0)).astype(jnp.float32).reshape(-1)
+            row.append(jnp.where(area[:, None] > 0,
+                                 total / jnp.maximum(area[:, None], 1.0), 0.0))
+        outs.append(jnp.stack(row, axis=1))           # (B*N, k, D)
+    out = jnp.stack(outs, axis=1)                     # (B*N, k, k, D)
+    return out.reshape(b, n, k, k, d).astype(features.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Matmul (MXU) formulation
+#
+# The 4-corner SAT difference for bin (ph, pw) of RoI n factorizes as a
+# bilinear form  (e_he - e_hs)^T · SAT_slab · (e_we - e_ws)  with one-hot
+# row/col indicator vectors, so ALL RoIs of a bin reduce to two dense
+# contractions: rows first (an (N, H+1) @ (H+1, (W+1)·D) matmul on the MXU),
+# then the column indicator as a multiply-reduce. This replaces the serial
+# per-RoI gather loop with MXU work — the TPU-native answer to the CUDA
+# kernel's one-thread-per-output parallelism.
+# ---------------------------------------------------------------------------
+
+def _row_col_indicators(hs, he, ws, we, height: int, width: int):
+    """One-hot difference indicators: R (N, k, H+1), C (N, k, W+1) f32."""
+    yy = jnp.arange(height + 1)
+    xx = jnp.arange(width + 1)
+    r = ((he[..., None] == yy).astype(jnp.float32)
+         - (hs[..., None] == yy).astype(jnp.float32))
+    c = ((we[..., None] == xx).astype(jnp.float32)
+         - (ws[..., None] == xx).astype(jnp.float32))
+    return r, c
+
+
+def _bin_areas(hs, he, ws, we):
+    """(N, k, k) bin pixel counts (0 for empty bins)."""
+    dh = (he - hs).astype(jnp.float32)          # (N, k)
+    dw = (we - ws).astype(jnp.float32)          # (N, k)
+    return jnp.maximum(dh, 0.0)[:, :, None] * jnp.maximum(dw, 0.0)[:, None, :]
+
+
+def psroi_pool_mm(features: jnp.ndarray, rois: jnp.ndarray,
+                  spatial_scale: float, group_size: int) -> jnp.ndarray:
+    """XLA einsum form of the matmul formulation (differentiable).
+
+    HIGHEST matmul precision is mandatory: SAT entries reach O(H*W) scale,
+    and the TPU's default bf16-input f32 matmuls lose ~1e-2 of the pooled
+    value (measured 1.4 absolute on production maps).
+    """
+    h, w, c = features.shape
+    k = group_size
+    d = c // (k * k)
+    assert d * k * k == c, f"channels {c} not divisible by k^2={k * k}"
+    hs, he, ws, we = _roi_bounds(rois, spatial_scale, k, h, w)
+    sat = _sat(features).reshape(h + 1, w + 1, k, k, d)  # c = (ph*k + pw)*d + dd
+    hi = jax.lax.Precision.HIGHEST
+    r, cind = _row_col_indicators(hs, he, ws, we, h, w)
+    t1 = jnp.einsum("npy,yxpqd->npqxd", r, sat, precision=hi)  # rows (MXU)
+    sums = jnp.einsum("nqx,npqxd->npqd", cind, t1, precision=hi)
+    area = _bin_areas(hs, he, ws, we)[..., None]
+    out = jnp.where(area > 0, sums / jnp.maximum(area, 1.0), 0.0)
+    return out.astype(features.dtype)
+
+
+def _psroi_mm_kernel(r_ref,    # VMEM (1, N, H+1)  rows indicator, bin ph
+                     c_ref,    # VMEM (1, N, W+1)  cols indicator, bin pw
+                     sat_ref,  # VMEM (1, H+1, D*(W+1)) SAT slab, channel-major
+                     out_ref,  # VMEM (1, 1, N, D) bin sums (area applied outside)
+                     *, w1: int, d: int):
+    r = r_ref[0]                                      # (N, H+1)
+    slab = sat_ref[0]                                 # (H+1, D*(W+1))
+    # HIGHEST precision: SAT entries are O(H*W)-scale; default bf16-input
+    # matmuls lose ~1e-2 of the pooled value
+    t1 = jnp.dot(r, slab, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)   # (N, D*(W+1))
+    # column contraction without lane reshapes (Mosaic-friendly): the slab's
+    # channel-major d*(W+1)+x layout means a whole-vector repeat of the col
+    # indicator lines up with x; the x-sum per channel is then a constant
+    # 0/1 selection matmul
+    cind = pltpu.repeat(c_ref[0], d, axis=1)          # (N, D*(W+1))
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (w1 * d, d), 0) // w1
+           == jax.lax.broadcasted_iota(jnp.int32, (w1 * d, d), 1))
+    out_ref[0, 0] = jnp.dot(t1 * cind, sel.astype(jnp.float32),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+
+
+def _psroi_pallas_mm_raw(features: jnp.ndarray, rois: jnp.ndarray,
+                         spatial_scale: float, group_size: int) -> jnp.ndarray:
+    h, w, c = features.shape
+    k = group_size
+    d = c // (k * k)
+    assert d * k * k == c, f"channels {c} not divisible by k^2={k * k}"
+    n = rois.shape[0]
+    hs, he, ws, we = _roi_bounds(rois, spatial_scale, k, h, w)
+    r, cind = _row_col_indicators(hs, he, ws, we, h, w)
+    r = r.transpose(1, 0, 2)                          # (k, N, H+1) bin-major
+    cind = cind.transpose(1, 0, 2)                    # (k, N, W+1)
+    sat = _sat(features)                              # (H+1, W+1, C) f32
+    # (bin, H+1, D*(W+1)) channel-major slabs — see _psroi_mm_kernel
+    sat_binned = (sat.reshape(h + 1, w + 1, k * k, d)
+                  .transpose(2, 0, 3, 1)
+                  .reshape(k * k, h + 1, d * (w + 1)))
+
+    sums = pl.pallas_call(
+        functools.partial(_psroi_mm_kernel, w1=w + 1, d=d),
+        grid=(k, k),
+        in_specs=[
+            pl.BlockSpec((1, n, h + 1), lambda ph, pw: (ph, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, w + 1), lambda ph, pw: (pw, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h + 1, d * (w + 1)),
+                         lambda ph, pw: (ph * k + pw, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, n, d), lambda ph, pw: (ph, pw, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, k, n, d), jnp.float32),
+        interpret=_use_interpret(),
+    )(r, cind, sat_binned)
+
+    area = _bin_areas(hs, he, ws, we)[..., None]      # (N, k, k, 1)
+    sums = sums.transpose(2, 0, 1, 3)                 # (N, k, k, D)
+    out = jnp.where(area > 0, sums / jnp.maximum(area, 1.0), 0.0)
+    return out.astype(features.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def psroi_pool_pallas_mm(features, rois, spatial_scale: float, group_size: int):
+    return _psroi_pallas_mm_raw(features, rois, spatial_scale, group_size)
+
+
+def _psroi_mm_fwd(features, rois, spatial_scale, group_size):
+    out = _psroi_pallas_mm_raw(features, rois, spatial_scale, group_size)
+    return out, (features, rois)
+
+
+def _psroi_mm_bwd(spatial_scale, group_size, res, g):
+    features, rois = res
+    _, vjp = jax.vjp(lambda f: psroi_pool_xla(f, rois, spatial_scale, group_size),
+                     features)
+    (df,) = vjp(g.astype(features.dtype))
+    return df, jnp.zeros_like(rois)
+
+
+psroi_pool_pallas_mm.defvjp(_psroi_mm_fwd, _psroi_mm_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -198,16 +388,31 @@ def psroi_pool(features, rois, spatial_scale: float, group_size: int,
                impl: str = "auto") -> jnp.ndarray:
     """Dispatching entry point; (H, W, k*k*D), (N, 4) -> (N, k, k, D).
 
-    impl="auto" selects the XLA formulation: with single-axis (flattened)
-    gathers it measures 0.92 ms vs the Pallas kernel's 1.28 ms at production
-    shapes (38x68x1519, 300 RoIs) on v5e — the Pallas kernel's serial
-    per-RoI loop loses to XLA's batched gather. Both stay available and
-    oracle-pinned; `impl="pallas"` opts into the kernel.
+    Implementations (all oracle-pinned to the same Caffe kernel math);
+    v5e chained-iteration times at the production shapes (300 RoIs, 38x68
+    map; cls k^2*31 / bbox k^2*8 / track k^2*4 channels):
+
+    | impl      | cls   | bbox  | track | notes                            |
+    |-----------|-------|-------|-------|----------------------------------|
+    | xla       | 0.387 | 0.285 | 0.317 | SAT + flattened gathers (auto)   |
+    | mm        | 0.510 |   —   |   —   | SAT bilinear-form einsum         |
+    | pallas_mm | 0.453 | 0.214 | 0.379 | per-bin MXU matmul kernel        |
+    | pallas    | 0.547 | 0.465 | 0.468 | serial per-RoI gather kernel     |
+
+    "auto" = xla: it wins the dominant cls head and is within noise
+    elsewhere; the matmul kernel (pallas_mm) is the vectorized-over-RoIs
+    kernel design and stays selectable. All ~0.3-0.5 ms figures are
+    dispatch-overhead-dominated (SAT HBM traffic alone is ~20 us), so PSRoI
+    is <2% of the video-mode pipeline either way.
     """
     if impl == "auto":
         impl = "xla"
     if impl == "xla":
         return psroi_pool_xla(features, rois, spatial_scale, group_size)
+    if impl == "mm":
+        return psroi_pool_mm(features, rois, spatial_scale, group_size)
+    if impl == "pallas_mm":
+        return psroi_pool_pallas_mm(features, rois, spatial_scale, group_size)
     if impl == "pallas":
         return psroi_pool_pallas(features, rois, spatial_scale, group_size)
     raise ValueError(f"unknown psroi impl {impl!r}")

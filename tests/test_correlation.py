@@ -111,3 +111,24 @@ def test_vmap_batch(feats):
     assert out.shape == (2, 10, 14, 25)
     np.testing.assert_allclose(np.asarray(out[0]),
                                np_correlation(f1, f2, 2, 1), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("d,s", [(2, 1), (4, 2), (8, 2)])
+def test_mm_matches_oracle(feats, d, s):
+    from dtt.ops.correlation import correlation_mm
+    f1, f2 = feats
+    want = np_correlation(f1, f2, d, s)
+    got = np.asarray(correlation_mm(jnp.asarray(f1), jnp.asarray(f2), d, s))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_mm_gradients_match(feats):
+    from dtt.ops.correlation import correlation_mm
+    f1, f2 = feats
+    a1, a2 = jnp.asarray(f1), jnp.asarray(f2)
+    loss = lambda fn: lambda x, y: jnp.sum(jnp.sin(fn(x, y, 2, 1)))
+    gx = jax.grad(loss(correlation_xla), argnums=(0, 1))(a1, a2)
+    gm = jax.grad(loss(correlation_mm), argnums=(0, 1))(a1, a2)
+    for a, b in zip(gx, gm):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -108,3 +108,43 @@ def test_multiclass_nms_shapes_and_independence(rng):
                 if scores[i, c] > 0.2][:6]
         got_scores = np.asarray(ds)[c][np.asarray(dv)[c]]
         np.testing.assert_allclose(got_scores, scores[want, c], rtol=1e-6)
+
+
+def test_fast_nms_matches_sequential(rng):
+    """nms_padded_fast (multi-select while loop) must make EXACTLY the same
+    greedy decisions as the one-at-a-time form, for several block sizes."""
+    from dtt.ops.nms import nms_padded_fast
+    for trial in range(6):
+        n = 96
+        boxes = random_boxes(rng, n)
+        # duplicated boxes + tied scores stress tie-breaking
+        boxes[10] = boxes[11] = boxes[12]
+        scores = (rng.rand(n) * 10).round(1).astype(np.float32)
+        valid = rng.rand(n) > 0.1
+        for thr in (0.3, 0.7):
+            for blk in (1, 4, 16, 33):
+                want_i, want_v = nms_padded(
+                    jnp.asarray(boxes), jnp.asarray(scores), thr, 40,
+                    valid=jnp.asarray(valid), score_threshold=0.05)
+                got_i, got_v = nms_padded_fast(
+                    jnp.asarray(boxes), jnp.asarray(scores), thr, 40,
+                    valid=jnp.asarray(valid), score_threshold=0.05,
+                    select_block=blk)
+                np.testing.assert_array_equal(np.asarray(got_v),
+                                              np.asarray(want_v))
+                np.testing.assert_array_equal(
+                    np.asarray(got_i)[np.asarray(got_v)],
+                    np.asarray(want_i)[np.asarray(want_v)])
+
+
+def test_fast_nms_edge_cases():
+    from dtt.ops.nms import nms_padded_fast
+    boxes = jnp.asarray(np.tile([[0, 0, 10, 10]], (8, 1)).astype(np.float32))
+    scores = jnp.arange(8, 0, -1).astype(jnp.float32)
+    idx, valid = nms_padded_fast(boxes, scores, 0.5, 4)
+    assert int(np.asarray(valid).sum()) == 1          # all identical: keep 1
+    assert int(np.asarray(idx)[0]) == 0
+    # no valid inputs at all
+    idx, valid = nms_padded_fast(boxes, scores, 0.5, 4,
+                                 valid=jnp.zeros(8, bool))
+    assert not np.asarray(valid).any()

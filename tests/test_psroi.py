@@ -5,7 +5,11 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from dtt.ops.psroi import psroi_pool, psroi_pool_xla, psroi_pool_pallas
+from dtt.ops.psroi import (psroi_pool, psroi_pool_mm, psroi_pool_pallas,
+                           psroi_pool_pallas_mm, psroi_pool_xla)
+
+ALL_IMPLS = {"xla": psroi_pool_xla, "mm": psroi_pool_mm,
+             "pallas": psroi_pool_pallas, "pallas_mm": psroi_pool_pallas_mm}
 
 
 def np_psroi(features, rois, spatial_scale, k):
@@ -63,10 +67,12 @@ def test_xla_matches_oracle(case):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
-def test_pallas_matches_oracle(case):
+@pytest.mark.parametrize("impl", ["mm", "pallas", "pallas_mm"])
+def test_other_impls_match_oracle(case, impl):
     feats, rois, scale, k = case
     want = np_psroi(feats, rois, scale, k)
-    got = np.asarray(psroi_pool_pallas(jnp.asarray(feats), jnp.asarray(rois), scale, k))
+    got = np.asarray(ALL_IMPLS[impl](jnp.asarray(feats), jnp.asarray(rois),
+                                     scale, k))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
@@ -78,8 +84,10 @@ def test_impls_agree_random(rng):
         rng.uniform(200, 360, n), rng.uniform(150, 300, n),
     ], axis=1).astype(np.float32)
     a = np.asarray(psroi_pool_xla(jnp.asarray(feats), jnp.asarray(rois), 1 / 16.0, k))
-    b = np.asarray(psroi_pool_pallas(jnp.asarray(feats), jnp.asarray(rois), 1 / 16.0, k))
-    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+    for impl in ("mm", "pallas", "pallas_mm"):
+        b = np.asarray(ALL_IMPLS[impl](jnp.asarray(feats), jnp.asarray(rois),
+                                       1 / 16.0, k))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5, err_msg=impl)
 
 
 def test_gradients_match(case):
@@ -90,13 +98,12 @@ def test_gradients_match(case):
     def loss_xla(f):
         return jnp.sum(jnp.sin(psroi_pool_xla(f, r, scale, k)))
 
-    def loss_pallas(f):
-        return jnp.sum(jnp.sin(psroi_pool_pallas(f, r, scale, k)))
-
     g_xla = jax.grad(loss_xla)(f)
-    g_pallas = jax.grad(loss_pallas)(f)
-    np.testing.assert_allclose(np.asarray(g_xla), np.asarray(g_pallas),
-                               rtol=1e-4, atol=1e-5)
+    for impl in ("mm", "pallas", "pallas_mm"):
+        g_other = jax.grad(
+            lambda f: jnp.sum(jnp.sin(ALL_IMPLS[impl](f, r, scale, k))))(f)
+        np.testing.assert_allclose(np.asarray(g_xla), np.asarray(g_other),
+                                   rtol=1e-4, atol=1e-5, err_msg=impl)
     # finite-difference spot check
     eps = 1e-3
     probe = np.zeros_like(feats)
@@ -114,3 +121,26 @@ def test_jit_and_vmap(case):
     out = fn(batched_f, batched_r)
     assert out.shape == (2, rois.shape[0], k, k, feats.shape[-1] // (k * k))
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+
+def test_batched_matches_vmap(rng):
+    from dtt.ops.psroi import psroi_pool_batched
+    b, h, w, k, d, n = 3, 12, 16, 3, 5, 6
+    feats = rng.randn(b, h, w, d * k * k).astype(np.float32)
+    rois = np.stack([
+        rng.uniform(0, 150, (b, n)), rng.uniform(0, 100, (b, n)),
+        rng.uniform(150, 250, (b, n)), rng.uniform(100, 190, (b, n)),
+    ], axis=2).astype(np.float32)
+    want = jax.vmap(lambda f, r: psroi_pool_xla(f, r, 1 / 16.0, k))(
+        jnp.asarray(feats), jnp.asarray(rois))
+    got = psroi_pool_batched(jnp.asarray(feats), jnp.asarray(rois), 1 / 16.0, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    # and it differentiates like the vmap form
+    g1 = jax.grad(lambda f: jnp.sum(jnp.sin(psroi_pool_batched(
+        f, jnp.asarray(rois), 1 / 16.0, k))))(jnp.asarray(feats))
+    g2 = jax.grad(lambda f: jnp.sum(jnp.sin(jax.vmap(
+        lambda ff, rr: psroi_pool_xla(ff, rr, 1 / 16.0, k))(
+        f, jnp.asarray(rois)))))(jnp.asarray(feats))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-6)
