@@ -121,6 +121,12 @@ class ModelConfig(_Replaceable):
     # trades ~30% step time for activation memory, enabling larger
     # per-chip train batches
     remat: bool = False
+    # lax.scan over each stage's identical bottlenecks (stacked params): the
+    # compiled program holds ONE block per stage instead of all 23 of
+    # ResNet-101's layer3, shrinking compile time and program size (the
+    # tunnel 413-limits huge uploads). Changes the checkpoint param layout;
+    # the torch importer handles both. Incompatible with --calibrate-bn.
+    scan_blocks: bool = False
 
 
 @dataclass(frozen=True)
@@ -149,6 +155,9 @@ class TrainConfig(_Replaceable):
     bias_decay: bool = False
     gamma: float = 0.1             # lr decay factor
     lr_decay_steps: Tuple[int, ...] = (80000,)
+    # linear lr warmup over the first N steps (0 = off, the reference has
+    # none; from-scratch runs without pretrained BN stats need it)
+    warmup_steps: int = 0
     clip_gradients: float = 10.0
     batch_size_per_chip: int = 1   # frame-pairs per chip
     total_steps: int = 120000

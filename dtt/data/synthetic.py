@@ -11,6 +11,14 @@ from __future__ import annotations
 import numpy as np
 
 
+def _noise(rng: np.random.RandomState, shape) -> np.ndarray:
+    """float32-native gaussian noise: RandomState.randn emits float64 and
+    dominates host time at production canvases (the generator runs every
+    training step); Generator supports dtype=float32 directly."""
+    gen = np.random.default_rng(rng.randint(1 << 31))
+    return gen.standard_normal(shape, dtype=np.float32)
+
+
 def _draw_object(img, box, cls, rng):
     """Class-coded texture so classes are separable by appearance."""
     x1, y1, x2, y2 = [int(round(v)) for v in box]
@@ -44,7 +52,7 @@ def synthetic_pair(rng: np.random.RandomState, height: int, width: int,
     n = num_objects if num_objects is not None else rng.randint(1, 4)
     n = min(n, g)
     images = np.full((2, height, width, 3), 30.0, np.float32)
-    images += rng.randn(2, height, width, 3).astype(np.float32) * 4.0
+    images += _noise(rng, (2, height, width, 3)) * 4.0
 
     gt_boxes = np.zeros((2, g, 4), np.float32)
     gt_valid = np.zeros((2, g), bool)
@@ -100,7 +108,7 @@ def synthetic_snippet(rng: np.random.RandomState, num_frames: int, height: int,
     g = max_gt
     n = min(num_objects, g)
     images = np.full((num_frames, height, width, 3), 30.0, np.float32)
-    images += rng.randn(num_frames, height, width, 3).astype(np.float32) * 4.0
+    images += _noise(rng, (num_frames, height, width, 3)) * 4.0
     gt_boxes = np.zeros((num_frames, g, 4), np.float32)
     gt_valid = np.zeros((num_frames, g), bool)
     gt_labels = np.zeros((g,), np.int32)

@@ -117,16 +117,25 @@ def evaluate_snippet_video(cfg: Config, video_step, params,
 
     f = frames_per_chunk
     outs = []
+    pending: list = []  # dispatch-ahead queue: overlap host fetch with device compute
     start = 0
+
+    def fetch(entry):
+        out, real = entry
+        return jax.tree.map(lambda x: np.asarray(x[:real]), out)
+
     while start < t_len:
         chunk = ext[start:start + f]
         real = chunk.shape[0] - 1  # pairs produced by this chunk
         if chunk.shape[0] < f:    # pad tail by repeating the last frame
             pad = np.repeat(chunk[-1:], f - chunk.shape[0], axis=0)
             chunk = np.concatenate([chunk, pad], axis=0)
-        out = video_step(params, jnp.asarray(chunk), im_hw, scale)
-        outs.append(jax.tree.map(lambda x: np.asarray(x[:real]), out))
+        pending.append((video_step(params, jnp.asarray(chunk), im_hw, scale),
+                        real))
+        if len(pending) > 2:      # keep 2 chunks in flight
+            outs.append(fetch(pending.pop(0)))
         start += f - 1            # overlap: last frame re-used as next f_t
+    outs.extend(fetch(e) for e in pending)
     boxes = np.concatenate([o.boxes for o in outs], axis=0)[:t_len]
     scores = np.concatenate([o.scores for o in outs], axis=0)[:t_len]
     valid = np.concatenate([o.valid for o in outs], axis=0)[:t_len]
@@ -180,6 +189,12 @@ def evaluate_snippet(cfg: Config, pair_step, params, frames: np.ndarray,
 
     pair_idx = [(t, min(t + tau, t_len - 1)) for t in eval_ts]
     outs = []
+    pending: list = []  # dispatch-ahead queue (see evaluate_snippet_video)
+
+    def fetch(entry):
+        out, real = entry
+        return jax.tree.map(lambda x: np.asarray(x[:real]), out)
+
     for i in range(0, len(pair_idx), batch):
         chunk = pair_idx[i:i + batch]
         real = len(chunk)
@@ -187,8 +202,10 @@ def evaluate_snippet(cfg: Config, pair_step, params, frames: np.ndarray,
             chunk.append(chunk[-1])
         pairs = jnp.asarray(np.stack(
             [np.stack([frames[a], frames[b]]) for a, b in chunk]))
-        out = pair_step(params, pairs, im_hw, scale)
-        outs.append(jax.tree.map(lambda x: np.asarray(x[:real]), out))
+        pending.append((pair_step(params, pairs, im_hw, scale), real))
+        if len(pending) > 2:
+            outs.append(fetch(pending.pop(0)))
+    outs.extend(fetch(e) for e in pending)
     boxes = np.concatenate([o.boxes for o in outs], axis=0)
     scores = np.concatenate([o.scores for o in outs], axis=0)
     valid = np.concatenate([o.valid for o in outs], axis=0)

@@ -66,7 +66,7 @@ class DnT(nn.Module):
         self.backbone = ResNetBackbone(_BACKBONES[c.backbone],
                                        frozen_stages=c.frozen_stages,
                                        dtype=dtype, remat=c.remat,
-                                       name="backbone")
+                                       scan=c.scan_blocks, name="backbone")
         self.rpn = RPNHead(c.anchors.num_anchors, c.rpn.channels, dtype,
                            name="rpn")
         # cfg.roi.pooling_mode (ref: cfg.POOLING_MODE in the jwyang lineage):

@@ -74,6 +74,20 @@ class Bottleneck(nn.Module):
         return nn.relu(out + sc)
 
 
+class _ScanBottleneck(nn.Module):
+    """nn.scan body: one identity-shaped bottleneck per scan step."""
+
+    planes: int
+    dilation: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, _):
+        y = Bottleneck(self.planes, 1, self.dilation,
+                       dtype=self.dtype, name="block")(x)
+        return y, None
+
+
 class ResNetStage(nn.Module):
     planes: int
     blocks: int
@@ -81,15 +95,31 @@ class ResNetStage(nn.Module):
     dilation: int = 1
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False  # rematerialize blocks in backward (memory for FLOPs)
+    scan: bool = False   # lax.scan over the identical blocks (small jit graph)
 
     @nn.compact
     def __call__(self, x):
         block = nn.remat(Bottleneck) if self.remat else Bottleneck
         x = block(self.planes, self.stride, self.dilation,
                   downsample=True, dtype=self.dtype, name="block0")(x)
-        for i in range(1, self.blocks):
-            x = block(self.planes, 1, self.dilation,
-                      dtype=self.dtype, name=f"block{i}")(x)
+        if self.scan and self.blocks > 1:
+            # Identity-shaped blocks 1..N-1 run as ONE scanned body with
+            # stacked params: the HLO holds one block regardless of depth
+            # (layer3 of ResNet-101 = 22 blocks), shrinking compile time and
+            # program upload size (the tunnel 413-limits huge graphs —
+            # CLAUDE.md). Remat composes per scan step: peak activation
+            # memory is one block deep.
+            body = nn.remat(_ScanBottleneck, prevent_cse=False) \
+                if self.remat else _ScanBottleneck
+            scanned = nn.scan(body, variable_axes={"params": 0},
+                              split_rngs={"params": True},
+                              length=self.blocks - 1)
+            x, _ = scanned(self.planes, self.dilation, self.dtype,
+                           name="blocks")(x, None)
+        else:
+            for i in range(1, self.blocks):
+                x = block(self.planes, 1, self.dilation,
+                          dtype=self.dtype, name=f"block{i}")(x)
         return x
 
 
@@ -100,6 +130,7 @@ class ResNetBackbone(nn.Module):
     frozen_stages: int = 2                 # freeze stem(1) + layer1(2)
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    scan: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -114,19 +145,20 @@ class ResNetBackbone(nn.Module):
             x = jax.lax.stop_gradient(x)
 
         x = ResNetStage(64, self.layers[0], stride=1, dtype=self.dtype,
-                        remat=self.remat, name="layer1")(x)
+                        remat=self.remat, scan=self.scan, name="layer1")(x)
         if self.frozen_stages >= 2:
             x = jax.lax.stop_gradient(x)
 
         c3 = ResNetStage(128, self.layers[1], stride=2, dtype=self.dtype,
-                         remat=self.remat, name="layer2")(x)
+                         remat=self.remat, scan=self.scan, name="layer2")(x)
         if self.frozen_stages >= 3:
             c3 = jax.lax.stop_gradient(c3)
         c4 = ResNetStage(256, self.layers[2], stride=2, dtype=self.dtype,
-                         remat=self.remat, name="layer3")(c3)
+                         remat=self.remat, scan=self.scan, name="layer3")(c3)
         # conv5: stride removed, dilation 2 (atrous) => stays at stride 16
         c5 = ResNetStage(512, self.layers[3], stride=1, dilation=2,
-                         dtype=self.dtype, remat=self.remat, name="layer4")(c4)
+                         dtype=self.dtype, remat=self.remat, scan=self.scan,
+                         name="layer4")(c4)
         return c3, c4, c5
 
 

@@ -66,8 +66,15 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     frozen params (BN affines + frozen stages) fully excluded."""
     t = cfg.train
     frozen_stages = cfg.model.frozen_stages
-    schedule = optax.piecewise_constant_schedule(
+    base_schedule = optax.piecewise_constant_schedule(
         t.learning_rate, {int(s): t.gamma for s in t.lr_decay_steps})
+    if t.warmup_steps > 0:
+        # multiplicative warmup so lr_decay_steps stay absolute step counts
+        def schedule(step):
+            warm = jnp.minimum(1.0, (step + 1) / t.warmup_steps)
+            return base_schedule(step) * warm
+    else:
+        schedule = base_schedule
 
     def mask_of(pred):
         return lambda params: jax.tree_util.tree_map_with_path(
@@ -93,7 +100,9 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 def create_train_state(cfg: Config, key, sample_images: jnp.ndarray
                        ) -> tuple[DnT, TrainState]:
     model = make_model(cfg.model)
-    params = model.init(key, sample_images)
+    # jit the init: eager op-by-op dispatch is pathologically slow through
+    # the axon tunnel (CLAUDE.md) — a flagship-size init takes minutes unjitted
+    params = jax.jit(model.init)(key, sample_images)
     tx = make_optimizer(cfg)
     return model, TrainState(params=params, opt_state=tx.init(params["params"])
                              if "params" in params else tx.init(params),

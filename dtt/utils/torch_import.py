@@ -94,23 +94,52 @@ def import_resnet_backbone(state_dict: Dict, params: Dict,
     bk["conv1"]["kernel"] = conv_to_flax(take("conv1.weight"))
     set_bn(bk["bn1"], "bn1")
 
+    def fill_block(blk, tp):
+        for ci in (1, 2, 3):
+            blk[f"conv{ci}"]["kernel"] = conv_to_flax(
+                take(f"{tp}.conv{ci}.weight"))
+            set_bn(blk[f"bn{ci}"], f"{tp}.bn{ci}")
+        if "downsample_conv" in blk:
+            blk["downsample_conv"]["kernel"] = conv_to_flax(
+                take(f"{tp}.downsample.0.weight"))
+            set_bn(blk["downsample_bn"], f"{tp}.downsample.1")
+
     for li in range(1, 5):
         layer_name = f"layer{li}"
         if layer_name not in bk:
             continue
         layer = bk[layer_name]
-        blocks = sorted(layer.keys(), key=lambda s: int(s.replace("block", "")))
-        for bi, bname in enumerate(blocks):
-            blk = layer[bname]
-            tp = f"{layer_name}.{bi}"
-            for ci in (1, 2, 3):
-                blk[f"conv{ci}"]["kernel"] = conv_to_flax(
-                    take(f"{tp}.conv{ci}.weight"))
-                set_bn(blk[f"bn{ci}"], f"{tp}.bn{ci}")
-            if "downsample_conv" in blk:
-                blk["downsample_conv"]["kernel"] = conv_to_flax(
-                    take(f"{tp}.downsample.0.weight"))
-                set_bn(blk["downsample_bn"], f"{tp}.downsample.1")
+        if "blocks" in layer:
+            # scan_blocks layout: block0 + params of blocks 1..N-1 stacked
+            # along a leading scan axis (dtt.models.resnet ResNetStage.scan)
+            fill_block(layer["block0"], f"{layer_name}.0")
+            stacked = layer["blocks"]["block"]
+            n_rest = next(iter(stacked["conv1"].values())).shape[0]
+            rows = []
+            for bi in range(1, n_rest + 1):
+                blk = {m: {"kernel": None} for m in ("conv1", "conv2", "conv3")}
+                for m in ("bn1", "bn2", "bn3"):
+                    blk[m] = {}
+                fill_block(blk, f"{layer_name}.{bi}")
+                rows.append(blk)
+
+            def stack(*path):
+                leaf = stacked
+                for p in path[:-1]:
+                    leaf = leaf[p]
+                vals = [r[path[0]][path[1]] for r in rows]
+                leaf[path[-1]] = np.stack(vals, axis=0)
+
+            for m in ("conv1", "conv2", "conv3"):
+                stack(m, "kernel")
+            for m in ("bn1", "bn2", "bn3"):
+                stack(m, "scale")
+                stack(m, "bias")
+        else:
+            blocks = sorted(layer.keys(),
+                            key=lambda s: int(s.replace("block", "")))
+            for bi, bname in enumerate(blocks):
+                fill_block(layer[bname], f"{layer_name}.{bi}")
 
     if strict:
         unused = {k for k in sd if not k.startswith("fc.")} - used

@@ -38,6 +38,10 @@ def parse_args():
                    help="resume from the latest checkpoint in --out")
     p.add_argument("--pretrained", default=None, metavar="PTH",
                    help="torchvision/caffe-style ResNet .pth for the backbone")
+    p.add_argument("--calibrate-bn", action="store_true",
+                   help="estimate the frozen-BN affines from one data batch "
+                        "(LSUV-style); substitute for pretrained running "
+                        "stats when training from scratch")
     p.add_argument("--num-workers", type=int, default=8)
     return p.parse_args()
 
@@ -99,6 +103,13 @@ def main():
         state = state._replace(
             params=import_pretrained_backbone(args.pretrained, state.params))
         print(f"loaded pretrained backbone from {args.pretrained}")
+    if args.calibrate_bn:
+        from dtt.utils.calibrate import calibrate_model_backbone
+        calib = next(stream)
+        state = state._replace(
+            params=calibrate_model_backbone(cfg, state.params, calib["images"]))
+        print("calibrated frozen-BN affines from one batch "
+              f"({calib['images'].shape[0] * 2} frames)")
     if args.resume:
         ck = latest_checkpoint(args.out)
         if ck:
