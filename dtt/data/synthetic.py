@@ -33,16 +33,19 @@ def _draw_object(img, box, cls, rng):
     yy = np.arange(y1, y2 + 1)[:, None]
     xx = np.arange(x1, x2 + 1)[None, :]
     stripe = 20.0 * np.sin(2 * np.pi * (yy + xx) / max(4 + cls, 4))
-    img[y1:y2 + 1, x1:x2 + 1] = base + stripe[..., None]
+    patch = base + stripe[..., None]
+    if img.dtype == np.uint8:  # avoid negative-value wraparound
+        patch = np.clip(np.round(patch), 0, 255)
+    img[y1:y2 + 1, x1:x2 + 1] = patch
 
 
 def synthetic_pair(rng: np.random.RandomState, height: int, width: int,
                    num_classes: int, max_gt: int, num_objects: int | None = None,
-                   max_shift: float = 12.0):
+                   max_shift: float = 12.0, uint8: bool = False):
     """One frame pair with translated objects.
 
     Returns dict:
-      images: (2, H, W, 3) float32
+      images: (2, H, W, 3) float32 (or uint8 canvas if `uint8`)
       gt_boxes: (2, G, 4) track-aligned
       gt_labels: (G,) class ids in [1, num_classes-1]
       gt_valid: (2, G) bool
@@ -51,8 +54,15 @@ def synthetic_pair(rng: np.random.RandomState, height: int, width: int,
     g = max_gt
     n = num_objects if num_objects is not None else rng.randint(1, 4)
     n = min(n, g)
-    images = np.full((2, height, width, 3), 30.0, np.float32)
-    images += _noise(rng, (2, height, width, 3)) * 4.0
+    if uint8:
+        # uint8-native background (~N(30, 4) quantized): avoids any
+        # full-canvas float pass on the generator's critical path
+        gen = np.random.default_rng(rng.randint(1 << 31))
+        images = gen.integers(23, 38, (2, height, width, 3),
+                              dtype=np.uint8)  # ~mean 30, spread ~4
+    else:
+        images = np.full((2, height, width, 3), 30.0, np.float32)
+        images += _noise(rng, (2, height, width, 3)) * 4.0
 
     gt_boxes = np.zeros((2, g, 4), np.float32)
     gt_valid = np.zeros((2, g), bool)
@@ -88,12 +98,21 @@ def synthetic_pair(rng: np.random.RandomState, height: int, width: int,
 
 def synthetic_batch(rng: np.random.RandomState, batch: int, height: int,
                     width: int, num_classes: int, max_gt: int,
-                    pixel_means=(102.98, 115.95, 122.77)):
-    """Stacked, mean-subtracted batch dict for the train step."""
-    samples = [synthetic_pair(rng, height, width, num_classes, max_gt)
+                    pixel_means=(102.98, 115.95, 122.77), uint8: bool = False):
+    """Stacked batch dict for the train step.
+
+    uint8=True builds quantized un-normalized canvases natively in uint8 —
+    no full-canvas float passes on the host (the generator runs every train
+    step and the 1-core host is the throughput bound) and 4x fewer H2D
+    bytes; the train step normalizes on device (normalize_device_images).
+    Default emits host-mean-subtracted float32 (the reference semantics).
+    """
+    samples = [synthetic_pair(rng, height, width, num_classes, max_gt,
+                              uint8=uint8)
                for _ in range(batch)]
     out = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
-    out["images"] = out["images"] - np.asarray(pixel_means, np.float32)
+    if not uint8:
+        out["images"] = out["images"] - np.asarray(pixel_means, np.float32)
     return out
 
 

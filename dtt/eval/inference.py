@@ -33,6 +33,17 @@ class PairOutputs(NamedTuple):
     tracked: jnp.ndarray  # (B, C-1, M, 4) predicted boxes in frame t+τ
 
 
+def _transfer_dtype(cfg: Config, frames: np.ndarray) -> np.ndarray:
+    """Downcast frames for H2D transfer when the model computes in bf16.
+
+    Lossless vs the status quo — the backbone's first op is the same cast —
+    and halves the upload bytes (a 17-frame 608x1088 float32 chunk is 45 MB;
+    the tunnel moves ~40 MB/s, so transfer, not compute, dominates eval)."""
+    if jnp.dtype(cfg.model.dtype) == jnp.bfloat16:
+        return np.asarray(frames).astype(jnp.bfloat16)
+    return np.asarray(frames)
+
+
 def _detect_and_track(cfg: Config, anchors, f_t, track_maps, im_hw, scale
                       ) -> PairOutputs:
     """Shared post-feature pipeline: batched proposals + heads + tracking +
@@ -113,6 +124,7 @@ def evaluate_snippet_video(cfg: Config, video_step, params,
         im_hw = (frames.shape[1], frames.shape[2])
     im_hw = jnp.asarray(im_hw, jnp.float32)
     scale = jnp.float32(scale)
+    frames = _transfer_dtype(cfg, frames)
     ext = np.concatenate([frames, frames[-1:]], axis=0)  # T+1 frames
 
     f = frames_per_chunk
@@ -186,6 +198,7 @@ def evaluate_snippet(cfg: Config, pair_step, params, frames: np.ndarray,
         im_hw = (frames.shape[1], frames.shape[2])
     im_hw = jnp.asarray(im_hw, jnp.float32)
     scale = jnp.float32(scale)
+    frames = _transfer_dtype(cfg, frames)
 
     pair_idx = [(t, min(t + tau, t_len - 1)) for t in eval_ts]
     outs = []

@@ -139,6 +139,27 @@ class DnT(nn.Module):
         return f_t, f_tau, track
 
 
+def normalize_device_images(images: jnp.ndarray, im_size: jnp.ndarray,
+                            pixel_means) -> jnp.ndarray:
+    """uint8 canvas -> mean-subtracted float with exact-zero padding, on device.
+
+    H2D transfer through this machine's tunnel is the training bottleneck
+    (~40 MB/s vs a 124 ms step); shipping uint8 canvases is 4x fewer bytes
+    than float32 and EXACT (pixels are integers, so host-side f32 mean-sub
+    equals device-side). The canvas-padding invariant (exactly 0 AFTER mean
+    subtraction — see dtt.data.transforms.resize_to_canvas) is preserved by
+    masking beyond the true `im_size` extent. Float inputs pass through
+    unchanged (already normalized on host).
+    """
+    if images.dtype != jnp.uint8:
+        return images
+    h, w = images.shape[-3], images.shape[-2]
+    x = images.astype(jnp.float32) - jnp.asarray(pixel_means, jnp.float32)
+    rows = jnp.arange(h)[:, None, None] < im_size[0]
+    cols = jnp.arange(w)[None, :, None] < im_size[1]
+    return jnp.where(rows & cols, x, 0.0)
+
+
 class Detections(NamedTuple):
     rois: jnp.ndarray        # (N, 4) proposal boxes
     roi_valid: jnp.ndarray   # (N,)

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from dtt.core.config import Config
+from dtt.models import dnt as dnt_lib
 from dtt.models import rpn as rpn_lib
 from dtt.models import targets as tgt_lib
 from dtt.models.dnt import DnT, FrameFeats, rfcn_head, track_rois
@@ -34,14 +35,25 @@ class LossBreakdown(NamedTuple):
     rfcn_box: jnp.ndarray
     track: jnp.ndarray
     num_fg: jnp.ndarray
+    # mean CE over FOREGROUND RoIs only. rfcn_cls averages fg+bg together,
+    # so confident-background predictions can mask a chance-level
+    # classifier (observed: rfcn_cls 0.5 while fg CE sat at log C); this
+    # metric makes classification progress directly visible in the logs.
+    fg_ce: jnp.ndarray
 
 
 def _rfcn_losses(cfg: Config, cls_score, bbox_pred, tgts: tgt_lib.RoITargets):
-    """Per-RoI cls CE + box smooth-L1, OHEM-ranked if configured."""
+    """Per-RoI cls CE + box smooth-L1, OHEM-ranked if configured.
+
+    Returns (cls_loss, box_loss, fg_ce) — fg_ce is the diagnostic mean CE
+    over foreground RoIs (see LossBreakdown.fg_ce)."""
     mcfg = cfg.model
     labels = tgts.labels
     logp = jax.nn.log_softmax(cls_score, axis=-1)
     ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    fg_mask = tgts.valid & (labels > 0)
+    fg_ce = (jnp.sum(jnp.where(fg_mask, ce, 0.0))
+             / jnp.maximum(jnp.sum(fg_mask), 1.0))
 
     if mcfg.roi.class_agnostic:
         pred = bbox_pred[:, 4:8]       # fg half of the (bg, fg) pair
@@ -76,7 +88,7 @@ def _rfcn_losses(cfg: Config, cls_score, bbox_pred, tgts: tgt_lib.RoITargets):
         denom = jnp.maximum(jnp.sum(tgts.valid), 1.0)
         cls_loss = jnp.sum(jnp.where(tgts.valid, ce, 0.0)) / denom
         box_loss = jnp.sum(box) / denom
-    return cls_loss, box_loss
+    return cls_loss, box_loss, fg_ce
 
 
 def pair_loss(cfg: Config, model: DnT, params, anchors: jnp.ndarray,
@@ -94,6 +106,8 @@ def pair_loss(cfg: Config, model: DnT, params, anchors: jnp.ndarray,
     mcfg = cfg.model
     h_img = im_size[0]
     w_img = im_size[1]
+    images = dnt_lib.normalize_device_images(images, im_size,
+                                             cfg.input.pixel_means)
     f_t, f_tau, track_maps = model.apply(params, images[None])
     frames = [f_t, f_tau]
 
@@ -106,6 +120,7 @@ def pair_loss(cfg: Config, model: DnT, params, anchors: jnp.ndarray,
     rfcn_box_total = 0.0
     track_loss = jnp.float32(0.0)
     num_fg = jnp.float32(0.0)
+    fg_ce_total = 0.0
 
     for f in range(2):
         feats: FrameFeats = frames[f]
@@ -134,9 +149,10 @@ def pair_loss(cfg: Config, model: DnT, params, anchors: jnp.ndarray,
         cls_score, bbox_pred = rfcn_head(mcfg, feats.cls_maps[0],
                                          feats.bbox_maps[0], tgts.rois,
                                          spatial_scale)
-        l_rcls, l_rbox = _rfcn_losses(cfg, cls_score, bbox_pred, tgts)
+        l_rcls, l_rbox, l_fg_ce = _rfcn_losses(cfg, cls_score, bbox_pred, tgts)
         rfcn_cls_total += l_rcls
         rfcn_box_total += l_rbox
+        fg_ce_total += 0.5 * l_fg_ce
         num_fg += jnp.sum(tgts.bbox_weights)
 
         if f == 0:  # tracking head regresses frame-t RoIs to frame-τ gt
@@ -150,7 +166,7 @@ def pair_loss(cfg: Config, model: DnT, params, anchors: jnp.ndarray,
     return LossBreakdown(total=total, rpn_cls=rpn_cls_total,
                          rpn_box=rpn_box_total, rfcn_cls=rfcn_cls_total,
                          rfcn_box=rfcn_box_total, track=track_loss,
-                         num_fg=num_fg)
+                         num_fg=num_fg, fg_ce=fg_ce_total)
 
 
 def batch_loss(cfg: Config, model: DnT, params, anchors, batch, key

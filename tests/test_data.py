@@ -165,10 +165,32 @@ def test_device_prefetch(mini_ilsvrc):
     loader = PairLoader(ds.roidb(), cfg, batch_size=1, num_workers=1,
                         loop=False)
     n = 0
-    for batch in device_prefetch(loader, size=2):
-        assert hasattr(batch["images"], "devices")  # on-device array
+    import jax.numpy as jnp
+    # single-device contract: HOST batches (the jitted call's inline-arg
+    # upload beats per-array device_put on the tunnel), cast applied
+    for batch in device_prefetch(loader, size=2,
+                                 cast={"images": jnp.bfloat16}):
+        assert isinstance(batch["images"], np.ndarray)
+        assert batch["images"].dtype == jnp.bfloat16
         n += 1
     assert n == 3
+    loader.stop()
+
+
+def test_device_prefetch_mesh_places_on_device(mini_ilsvrc):
+    import jax
+    from dtt.parallel.mesh import data_mesh
+    ds = ImagenetVID(root=mini_ilsvrc, split="train", use_flipped=False)
+    cfg = InputConfig(target_short_side=96, canvas_height=96, canvas_width=128,
+                      max_gt_boxes=4)
+    loader = PairLoader(ds.roidb(), cfg, batch_size=1,
+                        num_workers=1, loop=False)
+    mesh = data_mesh(jax.devices()[:1])
+    seen = 0
+    for batch in device_prefetch(loader, mesh=mesh, size=2):
+        assert hasattr(batch["images"], "sharding")  # on-device, sharded
+        seen += 1
+    assert seen >= 1
     loader.stop()
 
 

@@ -146,9 +146,9 @@ def test_ohem_nms_dedup_prevents_duplicate_crowding():
         bbox_targets=jnp.zeros((4, 4)), bbox_weights=jnp.zeros(4),
         track_targets=jnp.zeros((4, 4)), track_weights=jnp.zeros(4))
 
-    cls_dedup, _ = _rfcn_losses(cfg, cls_score, jnp.zeros((4, 8)), tgts)
+    cls_dedup, _, _ = _rfcn_losses(cfg, cls_score, jnp.zeros((4, 8)), tgts)
     cfg_raw = cfg.replace(train=cfg.train.replace(ohem_nms_thresh=0.0))
-    cls_raw, _ = _rfcn_losses(cfg_raw, cls_score, jnp.zeros((4, 8)), tgts)
+    cls_raw, _, _ = _rfcn_losses(cfg_raw, cls_score, jnp.zeros((4, 8)), tgts)
 
     # raw top-2 = two duplicates -> mean = ce_big;
     # dedup = one duplicate + the distinct RoI -> mean = (ce_big + ce_mid)/2

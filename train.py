@@ -78,9 +78,11 @@ def main():
 
         def batches():
             while True:
+                # uint8 canvases: 4x fewer H2D bytes, normalized on device
+                # (exact — see dtt.models.dnt.normalize_device_images)
                 yield synthetic_batch(rng, batch, h, w, cfg.model.num_classes,
                                       cfg.input.max_gt_boxes,
-                                      cfg.input.pixel_means)
+                                      cfg.input.pixel_means, uint8=True)
         stream = batches()
         loader = None
     else:
@@ -106,10 +108,14 @@ def main():
     if args.calibrate_bn:
         from dtt.utils.calibrate import calibrate_model_backbone
         calib = next(stream)
+        imgs = calib["images"]
+        if imgs.dtype == np.uint8:  # normalize on host for the calibration pass
+            imgs = imgs.astype(np.float32) - np.asarray(cfg.input.pixel_means,
+                                                        np.float32)
         state = state._replace(
-            params=calibrate_model_backbone(cfg, state.params, calib["images"]))
+            params=calibrate_model_backbone(cfg, state.params, imgs))
         print("calibrated frozen-BN affines from one batch "
-              f"({calib['images'].shape[0] * 2} frames)")
+              f"({imgs.shape[0] * 2} frames)")
     if args.resume:
         ck = latest_checkpoint(args.out)
         if ck:
@@ -122,7 +128,14 @@ def main():
     else:
         step_fn = make_train_step(cfg, model, (h // 16, w // 16))
 
-    stream = device_prefetch(stream, mesh=mesh, size=2)
+    # Transfer-aware casting: synthetic batches already ship uint8 (device
+    # normalization); for the real loader, bf16 image transfer is lossless
+    # for a bf16-compute backbone (its first op is the same cast) and halves
+    # the H2D bytes — the tunnel upload, not the device step, bounds
+    # training throughput on this machine.
+    cast = ({"images": jnp.bfloat16}
+            if cfg.model.dtype == "bfloat16" and not args.synthetic else None)
+    stream = device_prefetch(stream, mesh=mesh, size=2, cast=cast)
 
     # ---- loop ----
     key = jax.random.PRNGKey(cfg.train.seed + 1)
