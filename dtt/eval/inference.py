@@ -80,7 +80,7 @@ def make_pair_step(cfg: Config, model: DnT, batch: int = 4):
     return step
 
 
-def make_video_step(cfg: Config, model: DnT, frames_per_chunk: int = 17):
+def make_video_step(cfg: Config, model: DnT, frames_per_chunk: int = 33):
     """jitted (params, frames (F,H,W,3), im_hw, scale) -> PairOutputs (F-1,...).
 
     Computes backbone features ONCE per frame and forms the F-1 adjacent
@@ -117,7 +117,7 @@ def evaluate_snippet_video(cfg: Config, video_step, params,
     frame T-1) and processed in chunks overlapping by one frame.
     """
     if frames_per_chunk is None:
-        frames_per_chunk = getattr(video_step, "frames_per_chunk", 17)
+        frames_per_chunk = getattr(video_step, "frames_per_chunk", 33)
     assert frames_per_chunk >= 2, "a chunk needs at least one frame pair"
     t_len = frames.shape[0]
     if im_hw is None:

@@ -45,6 +45,51 @@ class FrozenAffine(nn.Module):
         return x.astype(self.dtype) * scale + bias
 
 
+class StemConv(nn.Module):
+    """The 7x7/2 stem conv, by default computed via space-to-depth.
+
+    Space-to-depth(2) + a 4x4 stride-1 conv over 12 channels is
+    MATHEMATICALLY IDENTICAL to the 7x7/2 (the 4x4 kernel is a
+    rearrangement of the same 7x7 weights, so the param tree, checkpoints,
+    and the torch importer are untouched). MEASURED NEGATIVE on v5e at the
+    production shape (17 frames 608x1088 bf16: direct 4.69 ms vs s2d
+    5.33 ms — both are HBM-bound at K<=48, and the s2d input transpose
+    costs more than the better MXU packing buys), so s2d defaults OFF; the
+    exact-equivalence tests keep the option honest if a future platform
+    flips the tradeoff.
+    """
+
+    features: int = 64
+    dtype: jnp.dtype = jnp.bfloat16
+    s2d: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, cin, self.features), jnp.float32)
+        k = kernel.astype(self.dtype)
+        b, h, w = x.shape[0], x.shape[1], x.shape[2]
+        if self.s2d and h % 2 == 0 and w % 2 == 0:
+            # x2[p, q, (a*2+b)*C + c] = x[2p+a, 2q+b, c]
+            x2 = (x.reshape(b, h // 2, 2, w // 2, 2, cin)
+                  .transpose(0, 1, 3, 2, 4, 5)
+                  .reshape(b, h // 2, w // 2, 4 * cin))
+            # y[i,j] = sum_{u,v} K7[u,v] x[2i+u-3, 2j+v-3]; substituting
+            # u = 2m+a-1 (m in [0,4), a in {0,1}) maps K7 (zero-padded to
+            # 8x8 at the leading edge) onto a 4x4 kernel over the s2d layout
+            k7p = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
+            k4 = (k7p.reshape(4, 2, 4, 2, cin, self.features)
+                  .transpose(0, 2, 1, 3, 4, 5)
+                  .reshape(4, 4, 4 * cin, self.features))
+            return jax.lax.conv_general_dilated(
+                x2, k4, (1, 1), [(2, 1), (2, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            x, k, (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class Bottleneck(nn.Module):
     planes: int            # bottleneck width; output is 4*planes
     stride: int = 1
@@ -135,9 +180,7 @@ class ResNetBackbone(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-                    name="conv1")(x)
+        x = StemConv(64, self.dtype, name="conv1")(x)
         x = FrozenAffine(64, self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

@@ -23,6 +23,14 @@ score map turns every bin average into 4 gathered corners — O(HWC) setup +
 O(N*k^2*D) gathers, instead of re-reading each RoI's pixels.
 
 * `psroi_pool_xla` — pure-XLA gathers; fully differentiable.
+
+NEGATIVE RESULT (round 2, measured, do not redo): fusing all (RoI, bin,
+corner) lookups into ONE flat gather over the (pos, bin)-reshaped SAT is
+1.6-3x SLOWER on v5e than the per-bin loop below (cls head B=16: 33.8 ms
+vs 10.7 ms) — TPU gather throughput degrades with table size, and the
+per-bin form's 49 small sliced tables (43k rows each) beat one 2.1M-row
+table despite 49x more gather ops.
+
 * `psroi_pool_mm` / `psroi_pool_pallas_mm` — matmul (MXU) formulation: the
   4-corner SAT difference is a bilinear form over one-hot row/col indicator
   vectors, so all RoIs of a bin become two dense contractions (see the
@@ -82,33 +90,6 @@ def _sat(features: jnp.ndarray) -> jnp.ndarray:
                    ((1, 0), (1, 0), (0, 0)))
 
 
-def _fused_corner_gather(flat: jnp.ndarray, hs, he, ws, we, w1: int, k: int,
-                         base=None):
-    """All (RoI, bin, corner) SAT lookups as one flat single-axis gather.
-
-    flat: ((..., H+1, W+1, k^2) flattened, D) SAT rows, position-then-bin
-      order (the natural reshape of bin-major channels).
-    hs/he/ws/we: (..., N, k) integer bin bounds.
-    base: optional (...,)-broadcastable row offset (batch folding).
-    Returns (total (..., N, k, k, D), area (..., N, k, k)).
-    """
-    k2 = k * k
-    q = (jnp.arange(k)[:, None] * k + jnp.arange(k)[None, :])  # (k, k) bin id
-    y0, y1 = hs[..., :, None], he[..., :, None]   # (..., N, k, 1)
-    x0, x1 = ws[..., None, :], we[..., None, :]   # (..., N, 1, k)
-
-    def idx(y, x):                                # -> (..., N, k, k)
-        r = (y * w1 + x) * k2 + q
-        return r if base is None else r + base
-
-    rows = jnp.stack([idx(y1, x1), idx(y0, x1), idx(y1, x0), idx(y0, x0)])
-    g = flat[rows.reshape(-1)].reshape(4, -1, flat.shape[-1])
-    total = g[0] - g[1] - g[2] + g[3]
-    out_shape = rows.shape[1:] + (flat.shape[-1],)
-    area = ((y1 - y0) * (x1 - x0)).astype(jnp.float32)
-    return total.reshape(out_shape), area
-
-
 def psroi_pool_xla(features: jnp.ndarray, rois: jnp.ndarray,
                    spatial_scale: float, group_size: int) -> jnp.ndarray:
     """Integral-image PSRoI pooling.
@@ -125,15 +106,24 @@ def psroi_pool_xla(features: jnp.ndarray, rois: jnp.ndarray,
     assert d * k * k == c, f"channels {c} not divisible by k^2={k * k}"
     hs, he, ws, we = _roi_bounds(rois, spatial_scale, k, h, w)
     sat = _sat(features)
-    # Bin-major channels mean sat (H+1, W+1, k^2*D) reshapes — a free view,
-    # no transpose — to rows of (position, bin): ONE flat single-axis gather
-    # resolves every (RoI, bin, corner) instead of k^2*4 separate gathers
-    # (the gather op count, not bytes, dominated this op's time).
-    total, area = _fused_corner_gather(sat.reshape(-1, d), hs, he, ws, we,
-                                       w + 1, k)
-    out = jnp.where(area[..., None] > 0,
-                    total / jnp.maximum(area[..., None], 1.0), 0.0)
-    return out.astype(features.dtype)                # (N, k, k, D)
+
+    outs = []
+    for ph in range(k):
+        row = []
+        for pw in range(k):
+            off = (ph * k + pw) * d
+            slab = jax.lax.slice_in_dim(sat, off, off + d, axis=2)
+            # flatten to single-axis gathers (fast path on TPU)
+            flat = slab.reshape((h + 1) * (w + 1), d)
+            a, b = hs[:, ph], he[:, ph]
+            c0, c1 = ws[:, pw], we[:, pw]
+            total = (flat[b * (w + 1) + c1] - flat[a * (w + 1) + c1]
+                     - flat[b * (w + 1) + c0] + flat[a * (w + 1) + c0])
+            area = ((b - a) * (c1 - c0)).astype(jnp.float32)
+            row.append(jnp.where(area[:, None] > 0,
+                                 total / jnp.maximum(area[:, None], 1.0), 0.0))
+        outs.append(jnp.stack(row, axis=1))          # (N, k, D)
+    return jnp.stack(outs, axis=1).astype(features.dtype)  # (N, k, k, D)
 
 
 def psroi_pool_batched(features: jnp.ndarray, rois: jnp.ndarray,
@@ -156,13 +146,27 @@ def psroi_pool_batched(features: jnp.ndarray, rois: jnp.ndarray,
         lambda r: _roi_bounds(r, spatial_scale, k, h, w))(rois)  # (B, N, k)
     sat = jax.vmap(_sat)(features)                    # (B, H+1, W+1, C)
     h1, w1 = h + 1, w + 1
-    # batch offset folded into the row index; bins folded by the bin-major
-    # reshape — the whole head is ONE flat single-axis gather
-    base = (jnp.arange(b) * (h1 * w1 * k * k)).reshape(b, 1, 1, 1)
-    total, area = _fused_corner_gather(sat.reshape(-1, d), hs, he, ws, we,
-                                       w1, k, base=base)
-    out = jnp.where(area[..., None] > 0,
-                    total / jnp.maximum(area[..., None], 1.0), 0.0)
+    base = (jnp.arange(b) * (h1 * w1))[:, None]       # (B, 1)
+
+    outs = []
+    for ph in range(k):
+        row = []
+        for pw in range(k):
+            off = (ph * k + pw) * d
+            flat = jax.lax.slice_in_dim(sat, off, off + d, axis=3)
+            flat = flat.reshape(b * h1 * w1, d)
+            a, bb = hs[:, :, ph], he[:, :, ph]
+            c0, c1 = ws[:, :, pw], we[:, :, pw]
+            i00 = (base + a * w1 + c0).reshape(-1)
+            i01 = (base + a * w1 + c1).reshape(-1)
+            i10 = (base + bb * w1 + c0).reshape(-1)
+            i11 = (base + bb * w1 + c1).reshape(-1)
+            total = flat[i11] - flat[i01] - flat[i10] + flat[i00]
+            area = ((bb - a) * (c1 - c0)).astype(jnp.float32).reshape(-1)
+            row.append(jnp.where(area[:, None] > 0,
+                                 total / jnp.maximum(area[:, None], 1.0), 0.0))
+        outs.append(jnp.stack(row, axis=1))           # (B*N, k, D)
+    out = jnp.stack(outs, axis=1)                     # (B*N, k, k, D)
     return out.reshape(b, n, k, k, d).astype(features.dtype)
 
 

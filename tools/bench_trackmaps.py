@@ -11,6 +11,11 @@ and the correlation calls to locate the stage's real cost.
 Run on the TPU host: python tools/bench_trackmaps.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from dtt.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
