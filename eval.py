@@ -146,6 +146,11 @@ def main():
     num_classes = cfg.model.num_classes
 
     all_dets = {c: [] for c in range(1, num_classes)}
+    # with --link, the PRE-linking detections are also collected (linking is
+    # a cheap host-side rescoring of already-computed detections; the
+    # reference evaluates before and after rescoring — one device pass
+    # yields both mAPs)
+    raw_dets = {c: [] for c in range(1, num_classes)} if args.link else None
     all_gts = {c: {} for c in range(1, num_classes)}
     frame_uid = 0
 
@@ -173,16 +178,23 @@ def main():
             from dtt.eval.inference import evaluate_snippet_video
             boxes, scores, valid, tracked = evaluate_snippet_video(
                 cfg, video_step, state.params, frames, im_hw=im_hw, scale=scale)
+            raw_scores = scores
             if args.link:
                 scores, _ = link_snippet(cfg, boxes, scores, tracked, valid)
-            for c in range(1, num_classes):
-                ci = c - 1
-                for t in range(t_len):
-                    fid = frame_uid + t
-                    for m in range(boxes.shape[2]):
-                        if valid[ci, t, m] and scores[ci, t, m] > cfg.eval.score_thresh:
-                            all_dets[c].append((fid, float(scores[ci, t, m]),
+
+            def collect(dest, sc):
+                for c in range(1, num_classes):
+                    ci = c - 1
+                    for t in range(t_len):
+                        fid = frame_uid + t
+                        for m in range(boxes.shape[2]):
+                            if valid[ci, t, m] and sc[ci, t, m] > cfg.eval.score_thresh:
+                                dest[c].append((fid, float(sc[ci, t, m]),
                                                 boxes[ci, t, m].tolist()))
+
+            collect(all_dets, scores)
+            if raw_dets is not None:
+                collect(raw_dets, raw_scores)
         for c in range(1, num_classes):
             for t in range(t_len):
                 fid = frame_uid + t
@@ -202,8 +214,13 @@ def main():
                              class_names=names, protocol=args.eval_protocol)
     per_class = {f"class_{c}": (None if np.isnan(a) else round(a, 4))
                  for c, a in result["ap"].items()}
-    print(json.dumps({"mAP": round(result["map"], 4),
-                      "protocol": args.eval_protocol, **per_class}))
+    out = {"mAP": round(result["map"], 4), "protocol": args.eval_protocol}
+    if raw_dets is not None:
+        raw = eval_detections(raw_dets, all_gts, num_classes,
+                              class_names=names, protocol=args.eval_protocol)
+        out["mAP_nolink"] = round(raw["map"], 4)
+        out["link_uplift"] = round(result["map"] - raw["map"], 4)
+    print(json.dumps({**out, **per_class}))
 
 
 if __name__ == "__main__":

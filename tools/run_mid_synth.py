@@ -63,9 +63,9 @@ def main():
 
     eval_cmd = [sys.executable, "eval.py", "--synthetic",
                 "--checkpoint", args.out,
-                "--synthetic-snippets", str(args.snippets)]
-    nolink = last_json(run(eval_cmd))["mAP"]
-    link = last_json(run(eval_cmd + ["--link"]))["mAP"]
+                "--synthetic-snippets", str(args.snippets), "--link"]
+    res = last_json(run(eval_cmd))  # one pass reports both mAPs
+    nolink, link = res["mAP_nolink"], res["mAP"]
 
     verdict = {"mAP_link": round(link, 4), "mAP_nolink": round(nolink, 4),
                "uplift": round(link - nolink, 4)}
