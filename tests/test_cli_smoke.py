@@ -1,0 +1,44 @@
+"""End-to-end CLI smoke: train.py -> eval.py --link (tiny config, CPU).
+
+The only coverage of the script-level plumbing (arg parsing, checkpoint
+round-trip, the single-pass linked+unlinked eval output contract) — the
+component logic underneath has its own unit tests.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(cmd):
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=1",
+               JAX_PLATFORMS="cpu")
+    proc = subprocess.run([sys.executable] + cmd, cwd=ROOT, env=env,
+                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                          text=True, timeout=900)
+    assert proc.returncode == 0, proc.stdout[-3000:]
+    return proc.stdout
+
+
+@pytest.mark.slow
+def test_train_then_eval_link_single_pass(tmp_path):
+    out = str(tmp_path / "run")
+    _run(["train.py", "--synthetic", "--config", "configs/tiny_synth.yml",
+          "--out", out,
+          "--set", "train.total_steps=3", "train.checkpoint_every=3",
+          "train.log_every=1"])
+    assert os.path.exists(os.path.join(out, "LATEST"))
+
+    stdout = _run(["eval.py", "--synthetic", "--checkpoint", out,
+                   "--synthetic-snippets", "1", "--link"])
+    line = [l for l in stdout.strip().splitlines() if l.startswith("{")][-1]
+    result = json.loads(line)
+    # single-pass contract: linked mAP, unlinked mAP, and uplift together
+    assert {"mAP", "mAP_nolink", "link_uplift", "protocol"} <= result.keys()
+    assert result["protocol"] == "devkit"
