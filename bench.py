@@ -37,6 +37,8 @@ CHUNK = 33  # frames per step -> CHUNK-1 frame pairs (measured best: 33
 
 
 def main():
+    from dtt.utils.platform import apply_platform_request
+    apply_platform_request()  # honor DTT_PLATFORM before first backend use
     from dtt.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     import jax

@@ -142,6 +142,12 @@ class InputConfig(_Replaceable):
     pixel_means: Tuple[float, ...] = (102.9801, 115.9465, 122.7717)  # BGR, Caffe
     use_flipped: bool = True
     max_gt_boxes: int = 30         # static pad of gt boxes per frame
+    # synthetic-data scene density: objects per frame pair drawn uniformly
+    # from [lo, hi] (train.py --synthetic; eval snippets pass their own
+    # count). Denser scenes raise per-class exposure per step — the 30-way
+    # flagship synthetic run needs it (BASELINE.md round-2: classification
+    # converges with exposure, not steps).
+    synthetic_objects: Tuple[int, int] = (1, 3)
 
 
 @dataclass(frozen=True)

@@ -273,5 +273,6 @@ def link_snippet(cfg: Config, boxes, scores, tracked, valid):
     tubes = link_all_classes(
         jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(tracked),
         jnp.asarray(valid), max_tubes=cfg.eval.max_tubes_per_class,
-        link_iou_weight=cfg.eval.link_iou_weight)
+        link_iou_weight=cfg.eval.link_iou_weight,
+        score_boost=cfg.eval.tube_score_boost)
     return np.asarray(tubes.rescored), tubes

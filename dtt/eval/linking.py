@@ -77,14 +77,22 @@ def _viterbi_once(boxes, scores, tracked, valid, virtual, link_iou_weight):
     return path, mean_score
 
 
-@functools.partial(jax.jit, static_argnames=("max_tubes",))
+@functools.partial(jax.jit, static_argnames=("max_tubes", "score_boost"))
 def link_tubes(boxes: jnp.ndarray,    # (T, N, 4)
                scores: jnp.ndarray,   # (T, N)
                tracked: jnp.ndarray,  # (T, N, 4) box propagated t -> t+1
                valid: jnp.ndarray,    # (T, N)
                max_tubes: int = 20,
-               link_iou_weight: float = 1.0) -> Tubes:
-    """Greedy repeated-Viterbi tube extraction for one class."""
+               link_iou_weight: float = 1.0,
+               score_boost: str = "mean_top_half") -> Tubes:
+    """Greedy repeated-Viterbi tube extraction for one class.
+
+    `score_boost` selects the tube statistic detections are boosted to
+    (cfg.eval.tube_score_boost): "mean_top_half" (D&T paper §3.4),
+    "mean", or "max" over the tube's claimed detection scores.
+    """
+    if score_boost not in ("mean_top_half", "mean", "max"):
+        raise ValueError(f"unknown tube_score_boost {score_boost!r}")
     t, n = scores.shape
 
     def body(carry, _):
@@ -102,9 +110,13 @@ def link_tubes(boxes: jnp.ndarray,    # (T, N, 4)
         onehot = jax.nn.one_hot(path, n, dtype=bool) & cur_valid  # (T, N)
         flat = jnp.sort(jnp.where(onehot, scores, -jnp.inf).max(axis=1))[::-1]
         count = jnp.sum(onehot.any(axis=1))
-        k_half = jnp.maximum((count + 1) // 2, 1)
-        top_mask = jnp.arange(t) < k_half
-        boost = jnp.sum(jnp.where(top_mask, jnp.where(jnp.isfinite(flat), flat, 0.0), 0.0)) / k_half
+        finite = jnp.where(jnp.isfinite(flat), flat, 0.0)
+        if score_boost == "mean_top_half":
+            k_stat = jnp.maximum((count + 1) // 2, 1)
+        else:  # "mean": all claimed scores; "max": k=1 of the sorted scores
+            k_stat = jnp.maximum(count, 1) if score_boost == "mean" else 1
+        top_mask = jnp.arange(t) < k_stat
+        boost = jnp.sum(jnp.where(top_mask, finite, 0.0)) / k_stat
 
         new_rescored = jnp.where(onehot & tube_ok,
                                  jnp.maximum(rescored, boost), rescored)
@@ -121,7 +133,9 @@ def link_tubes(boxes: jnp.ndarray,    # (T, N, 4)
 
 
 def link_all_classes(boxes, scores, tracked, valid, max_tubes: int = 20,
-                     link_iou_weight: float = 1.0) -> Tubes:
+                     link_iou_weight: float = 1.0,
+                     score_boost: str = "mean_top_half") -> Tubes:
     """vmap over the leading class axis: (C, T, N, ...) inputs."""
-    fn = lambda b, s, tr, v: link_tubes(b, s, tr, v, max_tubes, link_iou_weight)
+    fn = lambda b, s, tr, v: link_tubes(b, s, tr, v, max_tubes,
+                                        link_iou_weight, score_boost)
     return jax.vmap(fn)(boxes, scores, tracked, valid)

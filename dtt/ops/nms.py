@@ -111,7 +111,10 @@ def nms_padded_fast(boxes: jnp.ndarray,
         ok = top_s > score_threshold
         keep = jnp.zeros((m,), bool)
         for j in range(m):                                  # unrolled: tiny
-            sup = jnp.any(keep[:j] & (iou_m[:j, j] > iou_threshold)) if j else False
+            # j == 0 gets a jnp scalar, not Python False: `~False` is a
+            # Python-3.16 DeprecationWarning (int bitwise-not on bool)
+            sup = (jnp.any(keep[:j] & (iou_m[:j, j] > iou_threshold))
+                   if j else jnp.zeros((), bool))
             keep = keep.at[j].set(ok[j] & ~sup)
         # budget: only the first (max_outputs - count) survivors fit
         pos = count + jnp.cumsum(keep) - keep.astype(jnp.int32)

@@ -109,13 +109,24 @@ def create_train_state(cfg: Config, key, sample_images: jnp.ndarray
                              step=jnp.zeros((), jnp.int32))
 
 
-def make_train_step(cfg: Config, model: DnT, feat_hw: tuple[int, int]):
-    """Single-device jitted train step. batch dims: (B, ...)."""
+def make_train_step(cfg: Config, model: DnT, feat_hw: tuple[int, int],
+                    render_fn=None):
+    """Single-device jitted train step. batch dims: (B, ...).
+
+    `render_fn(batch, key) -> images` (optional) builds the image canvases
+    ON DEVICE inside the same jitted program (device-side synthetic
+    rendering, dtt.data.device_synth): the host batch then carries only
+    KB-scale scene parameters instead of MB-scale pixels — one fused
+    program, no extra dispatch round trip through the tunnel."""
     anchors = jnp.asarray(grid_anchors_for(cfg.model.anchors, *feat_hw))
     tx = make_optimizer(cfg)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, key):
+        if render_fn is not None:
+            key, rkey = jax.random.split(key)
+            batch = dict(batch, images=render_fn(batch, rkey))
+
         def loss_fn(params):
             return batch_loss(cfg, model, params, anchors, batch, key)
 
@@ -140,11 +151,13 @@ def make_data_mesh(devices=None) -> Mesh:
 
 
 def make_parallel_train_step(cfg: Config, model: DnT, feat_hw: tuple[int, int],
-                             mesh: Mesh):
+                             mesh: Mesh, render_fn=None):
     """Data-parallel train step: batch sharded on `data`, params replicated.
 
     Gradients are all-reduced by XLA over ICI (the psum appears in the
-    compiled module; nothing hand-written).
+    compiled module; nothing hand-written). `render_fn` as in
+    make_train_step — rendering stays sharded on `data` (each chip draws
+    its own batch rows).
     """
     anchors = jnp.asarray(grid_anchors_for(cfg.model.anchors, *feat_hw))
     tx = make_optimizer(cfg)
@@ -152,6 +165,10 @@ def make_parallel_train_step(cfg: Config, model: DnT, feat_hw: tuple[int, int],
     batch_sh = NamedSharding(mesh, P("data"))
 
     def step_fn(state: TrainState, batch, key):
+        if render_fn is not None:
+            key, rkey = jax.random.split(key)
+            batch = dict(batch, images=render_fn(batch, rkey))
+
         def loss_fn(params):
             return batch_loss(cfg, model, params, anchors, batch, key)
 
@@ -164,13 +181,11 @@ def make_parallel_train_step(cfg: Config, model: DnT, feat_hw: tuple[int, int],
                       if "params" in state.params else new_p)
         return TrainState(new_params, new_opt, state.step + 1), lb._asdict()
 
-    batch_spec = {
-        "images": batch_sh, "gt_boxes": batch_sh, "gt_labels": batch_sh,
-        "gt_valid": batch_sh, "im_scale": batch_sh, "im_size": batch_sh,
-    }
+    # prefix pytree: every batch leaf sharded on `data` (the dict's key set
+    # varies — device-render batches carry scene params, no images)
     return jax.jit(
         step_fn,
-        in_shardings=(repl, batch_spec, repl),
+        in_shardings=(repl, batch_sh, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )

@@ -46,6 +46,8 @@ def parse_args():
 
 
 def load_model_state(args):
+    from dtt.utils.platform import apply_platform_request
+    apply_platform_request()  # honor DTT_PLATFORM before first backend use
     from dtt.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     import jax
@@ -131,6 +133,55 @@ def snippet_stream_vid(cfg, args):
                snippet_gt_arrays(sn.annots, scale))
 
 
+def cap_frame_dets(scores: np.ndarray, valid: np.ndarray, max_dets: int
+                   ) -> np.ndarray:
+    """Per-frame detection cap ACROSS classes (cfg.eval.max_dets_per_frame;
+    the reference's test_net.py max_per_image rule): keep each frame's top
+    `max_dets` scores among valid detections, ties kept like the reference's
+    `>= image_thresh`. Returns the tightened valid mask (C-1, T, M)."""
+    c, t, m = scores.shape
+    if max_dets <= 0 or c * m <= max_dets:
+        return valid
+    flat = np.where(valid, scores, -np.inf).transpose(1, 0, 2).reshape(t, -1)
+    kth = -np.sort(-flat, axis=1)[:, max_dets - 1]          # (T,)
+    keep = (flat >= kth[:, None]) & np.isfinite(flat)
+    return valid & keep.reshape(t, c, m).transpose(1, 0, 2)
+
+
+def process_strided_snippet(cfg, num_classes, frame_uid, t_len, eval_ts,
+                            boxes, scores, valid, tracked,
+                            all_dets, raw_dets):
+    """τ-strided snippet post-processing: link tubes, interpolate them to
+    every frame, and FALL BACK to raw keyframe detections for any detection
+    no tube claimed — strided testing must never silently drop detections
+    (a round-2 gap: only tube-claimed detections were emitted). The raw
+    keyframe detections also feed `raw_dets` (mAP_nolink)."""
+    from dtt.eval.inference import interpolate_tubes, link_snippet
+    valid = cap_frame_dets(scores, valid, cfg.eval.max_dets_per_frame)
+    _, tubes = link_snippet(cfg, boxes, scores, tracked, valid)
+    per_frame = interpolate_tubes(tubes, boxes, eval_ts, t_len)
+    for t, dets in per_frame.items():
+        fid = frame_uid + t
+        for ci, s, b in dets:
+            if s > cfg.eval.score_thresh:
+                all_dets[ci + 1].append((fid, float(s),
+                                         np.asarray(b).tolist()))
+    in_tube = np.asarray(tubes.det_in_tube)                  # (C-1, T', N)
+    for c in range(1, num_classes):
+        ci = c - 1
+        for ti, t in enumerate(eval_ts):
+            fid = frame_uid + t
+            for m in range(boxes.shape[2]):
+                if (valid[ci, ti, m]
+                        and scores[ci, ti, m] > cfg.eval.score_thresh):
+                    det = (fid, float(scores[ci, ti, m]),
+                           boxes[ci, ti, m].tolist())
+                    if raw_dets is not None:
+                        raw_dets[c].append(det)
+                    if not in_tube[ci, ti, m]:
+                        all_dets[c].append(det)
+
+
 def main():
     args = parse_args()
     from dtt.eval.inference import evaluate_snippet, link_snippet, make_pair_step
@@ -138,6 +189,7 @@ def main():
     from dtt.data.imagenet_vid import CLASS_NAMES
 
     cfg, model, state = load_model_state(args)
+    do_link = args.link or args.tau > 1   # tau>1 implies tube linking
     if args.tau > 1:
         pair_step = make_pair_step(cfg, model)
     else:
@@ -146,11 +198,12 @@ def main():
     num_classes = cfg.model.num_classes
 
     all_dets = {c: [] for c in range(1, num_classes)}
-    # with --link, the PRE-linking detections are also collected (linking is
+    # when linking, the PRE-linking detections are also collected (linking is
     # a cheap host-side rescoring of already-computed detections; the
     # reference evaluates before and after rescoring — one device pass
-    # yields both mAPs)
-    raw_dets = {c: [] for c in range(1, num_classes)} if args.link else None
+    # yields both mAPs). For tau>1 these are the un-interpolated keyframe
+    # detections, so mAP_nolink also reflects the strided-testing gap.
+    raw_dets = {c: [] for c in range(1, num_classes)} if do_link else None
     all_gts = {c: {} for c in range(1, num_classes)}
     frame_uid = 0
 
@@ -160,24 +213,19 @@ def main():
     for name, frames, im_hw, scale, (gt_boxes, gt_labels, gt_valid) in stream:
         t_len = frames.shape[0]
         if args.tau > 1:
-            from dtt.eval.inference import interpolate_tubes
             boxes, scores, valid, tracked, eval_ts = evaluate_snippet(
                 cfg, pair_step, state.params, frames, tau=args.tau,
                 im_hw=im_hw, scale=scale)
-            _, tubes = link_snippet(cfg, boxes, scores, tracked, valid)
-            per_frame = interpolate_tubes(tubes, boxes, eval_ts, t_len)
-            for t, dets in per_frame.items():
-                fid = frame_uid + t
-                for ci, s, b in dets:
-                    if s > cfg.eval.score_thresh:
-                        all_dets[ci + 1].append((fid, float(s),
-                                                 np.asarray(b).tolist()))
+            process_strided_snippet(cfg, num_classes, frame_uid, t_len,
+                                    eval_ts, boxes, scores, valid, tracked,
+                                    all_dets, raw_dets)
         else:
             # τ=1: share per-frame features across adjacent pairs (2x fewer
             # backbone passes than the siamese pair formulation)
             from dtt.eval.inference import evaluate_snippet_video
             boxes, scores, valid, tracked = evaluate_snippet_video(
                 cfg, video_step, state.params, frames, im_hw=im_hw, scale=scale)
+            valid = cap_frame_dets(scores, valid, cfg.eval.max_dets_per_frame)
             raw_scores = scores
             if args.link:
                 scores, _ = link_snippet(cfg, boxes, scores, tracked, valid)

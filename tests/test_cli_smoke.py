@@ -16,9 +16,13 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run(cmd):
+    # DTT_PLATFORM (not JAX_PLATFORMS): the machine's sitecustomize
+    # force-registers the axon TPU platform over JAX_PLATFORMS=cpu; the
+    # entry scripts honor DTT_PLATFORM via jax.config.update, which wins
+    # (dtt/utils/platform.py) — keeps this test genuinely CPU/deterministic
     env = dict(os.environ,
                XLA_FLAGS="--xla_force_host_platform_device_count=1",
-               JAX_PLATFORMS="cpu")
+               DTT_PLATFORM="cpu")
     proc = subprocess.run([sys.executable] + cmd, cwd=ROOT, env=env,
                           stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                           text=True, timeout=900)

@@ -43,3 +43,67 @@ def test_snippet_gt_partial_visibility():
     gt_boxes, gt_labels, gt_valid = eval_script.snippet_gt_arrays(annots, 1.0)
     assert gt_valid[0].all() and gt_valid[2].all()
     assert gt_valid[1, 0] and not gt_valid[1, 1]
+
+
+def test_cap_frame_dets_caps_across_classes():
+    """cfg.eval.max_dets_per_frame (dead config in round 2) now caps each
+    frame's detections ACROSS classes, reference max_per_image semantics."""
+    c, t, m = 3, 2, 4
+    rng = np.random.RandomState(0)
+    scores = rng.rand(c, t, m).astype(np.float32)
+    valid = np.ones((c, t, m), bool)
+    capped = eval_script.cap_frame_dets(scores, valid, max_dets=5)
+    for f in range(t):
+        kept = scores[:, f, :][capped[:, f, :]]
+        dropped = scores[:, f, :][valid[:, f, :] & ~capped[:, f, :]]
+        assert kept.size == 5
+        assert dropped.size == c * m - 5
+        assert kept.min() >= dropped.max()  # the kept set is the top set
+    # no-op when the budget exceeds the candidate count
+    assert (eval_script.cap_frame_dets(scores, valid, max_dets=50)
+            == valid).all()
+    # invalid slots never resurrected
+    valid2 = valid.copy()
+    valid2[0] = False
+    assert not eval_script.cap_frame_dets(scores, valid2, 5)[0].any()
+
+
+def test_strided_fallback_emits_unclaimed_detections():
+    """eval --tau N must never silently drop detections no tube claimed
+    (VERDICT round-2 task 5): with max_tubes=1 and two well-separated
+    objects, the second object's keyframe detections fall back to raw
+    emission instead of vanishing."""
+    from dtt.core.config import Config
+
+    cfg = Config()
+    cfg = cfg.replace(eval=cfg.eval.replace(max_tubes_per_class=1,
+                                            score_thresh=0.01))
+    num_classes = 2   # one foreground class
+    t_prime, m = 3, 2
+    eval_ts = [0, 2, 4]
+    t_len = 5
+    boxes = np.zeros((1, t_prime, m, 4), np.float32)
+    for ti in range(t_prime):
+        boxes[0, ti, 0] = [10, 10, 40, 40]       # object A (claimed by tube)
+        boxes[0, ti, 1] = [200, 200, 240, 240]   # object B (no tube budget)
+    scores = np.zeros((1, t_prime, m), np.float32)
+    scores[0, :, 0] = 0.9
+    scores[0, :, 1] = 0.6
+    tracked = boxes.copy()
+    valid = np.ones((1, t_prime, m), bool)
+
+    all_dets = {1: []}
+    raw_dets = {1: []}
+    eval_script.process_strided_snippet(
+        cfg, num_classes, 0, t_len, eval_ts, boxes, scores, valid, tracked,
+        all_dets, raw_dets)
+
+    # raw keyframe detections collected for mAP_nolink: both objects
+    assert len(raw_dets[1]) == 2 * t_prime
+    # object B's detections appear in the final set despite having no tube
+    b_dets = [d for d in all_dets[1] if d[2][0] > 100]
+    assert len(b_dets) == t_prime, all_dets[1]
+    assert {d[0] for d in b_dets} == set(eval_ts)
+    # object A still comes from tube interpolation: every frame covered
+    a_frames = {d[0] for d in all_dets[1] if d[2][0] < 100}
+    assert a_frames == set(range(t_len))

@@ -160,3 +160,40 @@ def test_all_frames_empty_yields_no_tubes():
                      jnp.asarray(boxes), jnp.asarray(valid), max_tubes=3)
     assert not np.asarray(out.tube_valid).any()
     assert not np.asarray(out.det_in_tube).any()
+
+
+def test_tube_score_boost_statistics():
+    """cfg.eval.tube_score_boost selects the boost statistic: rescored
+    claimed detections are lifted to mean-of-top-half / mean / max of the
+    tube's claimed scores (the field was dead config in round 2)."""
+    t, n = 4, 1
+    boxes = np.tile(np.array([10, 10, 40, 40], np.float32), (t, n, 1))
+    scores = np.array([[0.9], [0.5], [0.3], [0.1]], np.float32)
+    tracked = boxes.copy()
+    valid = np.ones((t, n), bool)
+    args = (jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(tracked),
+            jnp.asarray(valid))
+    expect = {
+        "mean_top_half": (0.9 + 0.5) / 2,     # top half of 4 scores
+        "mean": (0.9 + 0.5 + 0.3 + 0.1) / 4,
+        "max": 0.9,
+    }
+    for stat, want in expect.items():
+        out = link_tubes(*args, max_tubes=1, score_boost=stat)
+        rescored = np.asarray(out.rescored)[:, 0]
+        # every claimed det boosted to max(original, statistic)
+        np.testing.assert_allclose(rescored,
+                                   np.maximum(scores[:, 0], want), rtol=1e-6)
+
+
+def test_tube_score_boost_rejects_unknown():
+    boxes = jnp.zeros((2, 1, 4))
+    scores = jnp.zeros((2, 1))
+    valid = jnp.ones((2, 1), bool)
+    try:
+        link_tubes(boxes, scores, boxes, valid, max_tubes=1,
+                   score_boost="median")
+    except ValueError as e:
+        assert "tube_score_boost" in str(e)
+    else:
+        raise AssertionError("unknown score_boost must raise")

@@ -33,6 +33,11 @@ def parse_args():
     p.add_argument("--data-root", default=None)
     p.add_argument("--synthetic", action="store_true",
                    help="train on generated mini-VID (no dataset required)")
+    p.add_argument("--device-render", action="store_true",
+                   help="with --synthetic: upload only KB-scale scene "
+                        "parameters and draw the canvases on device inside "
+                        "the train step (dtt.data.device_synth) — removes "
+                        "the H2D image-upload bottleneck")
     p.add_argument("--out", default="runs/dtt")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --out")
@@ -48,6 +53,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from dtt.utils.platform import apply_platform_request
+    apply_platform_request()  # honor DTT_PLATFORM before first backend use
     from dtt.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     import jax
@@ -73,16 +80,33 @@ def main():
           f"global batch={batch} frame-pairs, canvas={h}x{w}")
 
     # ---- data ----
+    render_fn = None
     if args.synthetic:
         rng = np.random.RandomState(cfg.train.seed)
+        n_obj = cfg.input.synthetic_objects
 
-        def batches():
-            while True:
-                # uint8 canvases: 4x fewer H2D bytes, normalized on device
-                # (exact — see dtt.models.dnt.normalize_device_images)
-                yield synthetic_batch(rng, batch, h, w, cfg.model.num_classes,
-                                      cfg.input.max_gt_boxes,
-                                      cfg.input.pixel_means, uint8=True)
+        if args.device_render:
+            from dtt.data.device_synth import make_pair_render_fn
+            from dtt.data.synthetic import sample_params_batch
+            render_fn = make_pair_render_fn(h, w)
+
+            def batches():
+                while True:
+                    # scene params only (~KB); canvases drawn on device
+                    yield sample_params_batch(rng, batch, h, w,
+                                              cfg.model.num_classes,
+                                              cfg.input.max_gt_boxes,
+                                              num_objects=n_obj)
+        else:
+            def batches():
+                while True:
+                    # uint8 canvases: 4x fewer H2D bytes, normalized on device
+                    # (exact — see dtt.models.dnt.normalize_device_images)
+                    yield synthetic_batch(rng, batch, h, w,
+                                          cfg.model.num_classes,
+                                          cfg.input.max_gt_boxes,
+                                          cfg.input.pixel_means, uint8=True,
+                                          num_objects=n_obj)
         stream = batches()
         loader = None
     else:
@@ -107,7 +131,16 @@ def main():
         print(f"loaded pretrained backbone from {args.pretrained}")
     if args.calibrate_bn:
         from dtt.utils.calibrate import calibrate_model_backbone
-        calib = next(stream)
+        if render_fn is not None:
+            # device-render batches carry no pixels; host-render one batch
+            # of the same distribution for the calibration pass
+            calib = synthetic_batch(np.random.RandomState(cfg.train.seed + 7),
+                                    batch, h, w, cfg.model.num_classes,
+                                    cfg.input.max_gt_boxes,
+                                    cfg.input.pixel_means, uint8=True,
+                                    num_objects=cfg.input.synthetic_objects)
+        else:
+            calib = next(stream)
         imgs = calib["images"]
         if imgs.dtype == np.uint8:  # normalize on host for the calibration pass
             imgs = imgs.astype(np.float32) - np.asarray(cfg.input.pixel_means,
@@ -124,9 +157,11 @@ def main():
 
     mesh = make_data_mesh() if n_dev > 1 else None
     if mesh is not None:
-        step_fn = make_parallel_train_step(cfg, model, (h // 16, w // 16), mesh)
+        step_fn = make_parallel_train_step(cfg, model, (h // 16, w // 16),
+                                           mesh, render_fn=render_fn)
     else:
-        step_fn = make_train_step(cfg, model, (h // 16, w // 16))
+        step_fn = make_train_step(cfg, model, (h // 16, w // 16),
+                                  render_fn=render_fn)
 
     # Transfer-aware casting: synthetic batches already ship uint8 (device
     # normalization); for the real loader, bf16 image transfer is lossless
