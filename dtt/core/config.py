@@ -148,6 +148,12 @@ class InputConfig(_Replaceable):
     # flagship synthetic run needs it (BASELINE.md round-2: classification
     # converges with exposure, not steps).
     synthetic_objects: Tuple[int, int] = (1, 3)
+    # DET:VID mixture for joint training (D&T paper §3.4 balances the
+    # sources; DET-train is ~10x VID-train's pair set, so plain
+    # concatenation would be dominated by identity pairs). In [0, 1]: each
+    # batch slot draws a DET identity pair with this probability and a VID
+    # pair otherwise. -1 (default) keeps natural concatenation sampling.
+    det_fraction: float = -1.0
 
 
 @dataclass(frozen=True)

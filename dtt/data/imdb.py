@@ -34,9 +34,19 @@ def list_datasets() -> List[str]:
 
 def combined_roidb(names, **kwargs) -> list:
     """Concatenate the roidbs of '+'-joined dataset names
-    (ref: combined_roidb('imagenet_vid_train+imagenet_det_train'))."""
+    (ref: combined_roidb('imagenet_vid_train+imagenet_det_train')).
+
+    Every entry is tagged with its source dataset name so the loader can
+    rebalance the mixture (input.det_fraction): DET-train is ~10x larger
+    than VID-train's pair set, so naive concatenation would make training
+    mostly identity pairs — the D&T recipe balances the two sources
+    (paper §3.4)."""
     roidb = []
     for name in names.split("+"):
-        ds = get_dataset(name.strip(), **kwargs)
-        roidb.extend(ds.roidb())
+        name = name.strip()
+        ds = get_dataset(name, **kwargs)
+        entries = ds.roidb()
+        for e in entries:
+            e["source"] = name
+        roidb.extend(entries)
     return roidb

@@ -25,7 +25,8 @@ class PairLoader:
     def __init__(self, roidb: Sequence[dict], cfg: InputConfig,
                  batch_size: int, seed: int = 0, num_workers: int = 4,
                  prefetch: int = 2, prepare_fn: Callable | None = None,
-                 drop_last: bool = True, loop: bool = True):
+                 drop_last: bool = True, loop: bool = True,
+                 det_fraction: float | None = None):
         assert len(roidb) > 0, "empty roidb"
         self.roidb = list(roidb)
         self.cfg = cfg
@@ -39,10 +40,33 @@ class PairLoader:
         self._stop = threading.Event()
         self._batch_q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._started = False
+        # DET:VID mixture (input.det_fraction; D&T paper §3.4): entries
+        # whose combined_roidb source name contains "det" form the DET
+        # group; each batch slot draws DET with p=det_fraction. Requires
+        # both groups present — otherwise the knob is ignored.
+        self.det_fraction = None
+        if det_fraction is not None and det_fraction >= 0.0:
+            det = [i for i, e in enumerate(self.roidb)
+                   if "det" in str(e.get("source", "")).lower()]
+            vid = [i for i in range(len(self.roidb)) if i not in set(det)]
+            if det and vid:
+                self.det_fraction = float(det_fraction)
+                self._groups = (np.asarray(vid), np.asarray(det))
 
     # -- index stream -------------------------------------------------------
     def _index_stream(self) -> Iterator[list[int]]:
         n = len(self.roidb)
+        if self.det_fraction is not None:
+            vid, det = self._groups
+            batches_per_epoch = max(n // self.batch_size, 1)
+            while True:
+                for _ in range(batches_per_epoch):
+                    pick_det = self._rng.rand(self.batch_size) < self.det_fraction
+                    yield [int(det[self._rng.randint(len(det))]) if d
+                           else int(vid[self._rng.randint(len(vid))])
+                           for d in pick_det]
+                if not self.loop:
+                    return
         while True:
             order = self._rng.permutation(n)
             for i in range(0, n - (self.batch_size - 1 if self.drop_last else 0),

@@ -32,6 +32,15 @@ def load_image_bgr(path: str) -> np.ndarray:
     return img[:, :, ::-1].copy()
 
 
+def canvas_scale(h: int, w: int, cfg: InputConfig) -> float:
+    """Resize scale for an (h, w) image: shorter side to target, capped so
+    the long side also fits the canvas (reference MAX_SIZE behavior).
+    Pure function of the image DIMENSIONS — streaming eval derives the
+    snippet scale from the annotation header without decoding any frame."""
+    scale = cfg.target_short_side / min(h, w)
+    return min(scale, cfg.canvas_height / h, cfg.canvas_width / w)
+
+
 def resize_to_canvas(img: np.ndarray, cfg: InputConfig, normalize: bool = True
                      ) -> tuple[np.ndarray, float]:
     """Shorter-side resize, mean-subtract, place top-left on a ZERO canvas.
@@ -43,8 +52,7 @@ def resize_to_canvas(img: np.ndarray, cfg: InputConfig, normalize: bool = True
     whole canvas instead would put -pixel_mean in the padding.
     """
     h, w = img.shape[:2]
-    scale = cfg.target_short_side / min(h, w)
-    scale = min(scale, cfg.canvas_height / h, cfg.canvas_width / w)
+    scale = canvas_scale(h, w, cfg)
     nh, nw = int(round(h * scale)), int(round(w * scale))
     if _HAS_CV2:
         resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)

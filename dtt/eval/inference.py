@@ -44,6 +44,70 @@ def _transfer_dtype(cfg: Config, frames: np.ndarray) -> np.ndarray:
     return np.asarray(frames)
 
 
+class LazyFrames:
+    """Memory-bounded snippet frames: indexable like the (T, H, W, 3) array
+    it replaces, but each frame is decoded on first touch and only a small
+    LRU stays resident.
+
+    Round-2 eval stacked EVERY decoded frame of a snippet before inference
+    (eval.py snippet_stream_vid); real ImageNet VID snippets run to
+    thousands of frames at ~8 MB each — tens of GB per snippet. The
+    reference streams its frame loop (ref: test_net.py); this is the
+    streaming equivalent for the chunked evaluators, which touch frames
+    sequentially with one frame of overlap between chunks, so a handful of
+    cached frames give decode-once behavior.
+    """
+
+    def __init__(self, paths, input_cfg, cache_frames: int = 8,
+                 prepare=None):
+        from dtt.data.transforms import prepare_image
+        self.paths = list(paths)
+        self.input_cfg = input_cfg
+        self._prepare = prepare or prepare_image
+        self._cap = max(int(cache_frames), 1)
+        self._cache: "dict[int, np.ndarray]" = {}
+        self._order: list[int] = []
+        self.decode_count = 0       # test hooks: decode-once + bounded cache
+        self.peak_cached = 0
+
+    @property
+    def shape(self):
+        return (len(self.paths), self.input_cfg.canvas_height,
+                self.input_cfg.canvas_width, 3)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, i):
+        i = int(i)
+        if i < 0:
+            i += len(self.paths)
+        if not 0 <= i < len(self.paths):
+            raise IndexError(i)
+        if i in self._cache:
+            self._order.remove(i)
+            self._order.append(i)
+            return self._cache[i]
+        img, _ = self._prepare(self.paths[i], self.input_cfg)
+        self.decode_count += 1
+        self._cache[i] = img
+        self._order.append(i)
+        if len(self._order) > self._cap:
+            del self._cache[self._order.pop(0)]
+        self.peak_cached = max(self.peak_cached, len(self._order))
+        return img
+
+
+def _gather_chunk(cfg: Config, frames, idxs) -> np.ndarray:
+    """Stack the requested frame indices into one transfer-ready chunk.
+
+    Works for both in-memory arrays and LazyFrames — the ONLY place the
+    evaluators materialize pixels, so peak host memory is bounded by the
+    chunks in flight, not the snippet length."""
+    return _transfer_dtype(cfg, np.stack([np.asarray(frames[i])
+                                          for i in idxs]))
+
+
 def _detect_and_track(cfg: Config, anchors, f_t, track_maps, im_hw, scale
                       ) -> PairOutputs:
     """Shared post-feature pipeline: batched proposals + heads + tracking +
@@ -114,7 +178,11 @@ def evaluate_snippet_video(cfg: Config, video_step, params,
 
     Same outputs as evaluate_snippet(tau=1): (C-1, T, M, ...) arrays.
     The snippet is extended by duplicating the last frame (identity pair for
-    frame T-1) and processed in chunks overlapping by one frame.
+    frame T-1) and processed in chunks overlapping by one frame. `frames`
+    may be an in-memory (T, H, W, 3) array or a LazyFrames — pixels are
+    materialized per chunk, so host memory stays bounded by the ≤3 chunks
+    in flight regardless of snippet length (ref: test_net.py streams its
+    frame loop the same way).
     """
     if frames_per_chunk is None:
         frames_per_chunk = getattr(video_step, "frames_per_chunk", 33)
@@ -124,8 +192,6 @@ def evaluate_snippet_video(cfg: Config, video_step, params,
         im_hw = (frames.shape[1], frames.shape[2])
     im_hw = jnp.asarray(im_hw, jnp.float32)
     scale = jnp.float32(scale)
-    frames = _transfer_dtype(cfg, frames)
-    ext = np.concatenate([frames, frames[-1:]], axis=0)  # T+1 frames
 
     f = frames_per_chunk
     outs = []
@@ -137,11 +203,11 @@ def evaluate_snippet_video(cfg: Config, video_step, params,
         return jax.tree.map(lambda x: np.asarray(x[:real]), out)
 
     while start < t_len:
-        chunk = ext[start:start + f]
-        real = chunk.shape[0] - 1  # pairs produced by this chunk
-        if chunk.shape[0] < f:    # pad tail by repeating the last frame
-            pad = np.repeat(chunk[-1:], f - chunk.shape[0], axis=0)
-            chunk = np.concatenate([chunk, pad], axis=0)
+        # index min(i, T-1): duplicates the last frame both for the final
+        # identity pair and as tail padding (trimmed via `real`)
+        idxs = [min(i, t_len - 1) for i in range(start, start + f)]
+        chunk = _gather_chunk(cfg, frames, idxs)
+        real = min(f - 1, t_len - start)  # pairs produced by this chunk
         pending.append((video_step(params, jnp.asarray(chunk), im_hw, scale),
                         real))
         if len(pending) > 2:      # keep 2 chunks in flight
@@ -198,7 +264,6 @@ def evaluate_snippet(cfg: Config, pair_step, params, frames: np.ndarray,
         im_hw = (frames.shape[1], frames.shape[2])
     im_hw = jnp.asarray(im_hw, jnp.float32)
     scale = jnp.float32(scale)
-    frames = _transfer_dtype(cfg, frames)
 
     pair_idx = [(t, min(t + tau, t_len - 1)) for t in eval_ts]
     outs = []
@@ -213,8 +278,9 @@ def evaluate_snippet(cfg: Config, pair_step, params, frames: np.ndarray,
         real = len(chunk)
         while len(chunk) < batch:  # pad the tail chunk (results trimmed)
             chunk.append(chunk[-1])
-        pairs = jnp.asarray(np.stack(
-            [np.stack([frames[a], frames[b]]) for a, b in chunk]))
+        flat = [t for ab in chunk for t in ab]       # frames per chunk only
+        g = _gather_chunk(cfg, frames, flat)
+        pairs = jnp.asarray(g.reshape(batch, 2, *g.shape[1:]))
         pending.append((pair_step(params, pairs, im_hw, scale), real))
         if len(pending) > 2:
             outs.append(fetch(pending.pop(0)))

@@ -114,22 +114,27 @@ def snippet_gt_arrays(annots, scale: float):
 
 
 def snippet_stream_vid(cfg, args):
+    """Yield (name, frames, im_hw, scale, gt) per snippet.
+
+    `frames` is a LazyFrames: frames decode per inference chunk instead of
+    stacking the whole snippet up front (real VID snippets run to thousands
+    of frames ≈ tens of GB stacked — the round-2 OOM hazard). The scale and
+    true extent come from the annotation header (frames of a snippet share
+    dimensions), so nothing is decoded before inference asks for it.
+    """
     from dtt.data.imdb import get_dataset
     import dtt.data.imagenet_vid  # noqa: F401
-    from dtt.data.transforms import prepare_image
+    from dtt.data.transforms import canvas_scale
+    from dtt.eval.inference import LazyFrames
     ds = get_dataset(args.dataset, root=args.data_root)
     for i, sn in enumerate(ds.snippets):
         if args.max_snippets and i >= args.max_snippets:
             return
-        imgs = []
-        im_hw = None
-        scale = 1.0
-        for path, ann in zip(sn.frames, sn.annots):
-            img, scale = prepare_image(path, cfg.input)
-            imgs.append(img)
-            im_hw = (round(ann["height"] * scale), round(ann["width"] * scale))
+        ann0 = sn.annots[0]
+        scale = canvas_scale(ann0["height"], ann0["width"], cfg.input)
+        im_hw = (round(ann0["height"] * scale), round(ann0["width"] * scale))
         yield (os.path.basename(os.path.dirname(sn.frames[0])),
-               np.stack(imgs), im_hw, scale,
+               LazyFrames(sn.frames, cfg.input), im_hw, scale,
                snippet_gt_arrays(sn.annots, scale))
 
 

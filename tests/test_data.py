@@ -202,3 +202,36 @@ def test_prepare_image(mini_ilsvrc):
                      "000000.JPEG"), cfg)
     assert img.shape == (96, 128, 3)
     assert 0 < scale <= 1.0
+
+
+def test_combined_roidb_tags_sources(mini_ilsvrc):
+    roidb = combined_roidb("imagenet_vid_train+imagenet_det_train",
+                           root=mini_ilsvrc, use_flipped=False)
+    srcs = {e["source"] for e in roidb}
+    assert srcs == {"imagenet_vid_train", "imagenet_det_train"}
+
+
+def _mix_fraction(roidb, det_fraction, n_batches=60, batch=8):
+    def prep(entry, cfg):
+        return {"is_det": np.float32("det" in entry["source"])}
+    loader = PairLoader(roidb, InputConfig(), batch, seed=0, num_workers=1,
+                        prepare_fn=prep, det_fraction=det_fraction)
+    it = iter(loader)
+    total = sum(float(next(it)["is_det"].sum()) for _ in range(n_batches))
+    loader.stop()
+    return total / (n_batches * batch)
+
+
+def test_pair_loader_det_fraction_mixture():
+    """input.det_fraction controls the realized DET:VID batch mixture
+    (round-2 gap: DET ~10x VID made naive concatenation mostly identity
+    pairs — D&T paper §3.4 balances the sources)."""
+    roidb = ([{"source": "imagenet_vid_train"}] * 20
+             + [{"source": "imagenet_det_train"}] * 200)
+    # natural concatenation: dominated by DET (~0.91)
+    assert _mix_fraction(roidb, det_fraction=-1.0) > 0.8
+    # balanced knob: ~requested fraction
+    got = _mix_fraction(roidb, det_fraction=0.25)
+    assert 0.17 < got < 0.33, got
+    # single-source roidb: knob is a no-op, not a crash
+    assert _mix_fraction([{"source": "imagenet_vid_train"}] * 30, 0.5) == 0.0

@@ -117,7 +117,8 @@ def main():
                                use_flipped=cfg.input.use_flipped)
         print(f"roidb: {len(roidb)} frame-pair entries from {args.dataset}")
         loader = PairLoader(roidb, cfg.input, batch,
-                            seed=cfg.train.seed, num_workers=args.num_workers)
+                            seed=cfg.train.seed, num_workers=args.num_workers,
+                            det_fraction=cfg.input.det_fraction)
         stream = iter(loader)
 
     # ---- model/state ----
