@@ -303,8 +303,8 @@ def decode_frame_detections(cfg: ModelConfig, det: Detections,
     Background class is dropped. If `track_deltas` is given, each kept
     detection also gets its tracked box in frame t+τ.
     """
-    means = jnp.asarray(cfg.roi.bbox_normalize_means)
-    stds = jnp.asarray(cfg.roi.bbox_normalize_stds)
+    from dtt.models.targets import roi_norm_params
+    means, stds = roi_norm_params(cfg.roi)
     if cfg.roi.class_agnostic:
         deltas = det.bbox_pred[:, 4:8]  # fg half of the (bg, fg) pair
         boxes = box_ops.decode_boxes(det.rois, deltas, means, stds)

@@ -100,8 +100,13 @@ def rpn_loss(rpn_cls: jnp.ndarray,          # (H, W, 2A)
              labels: jnp.ndarray,           # (HWA,) in {-1, 0, 1}
              bbox_targets: jnp.ndarray,     # (HWA, 4)
              bbox_weights: jnp.ndarray,     # (HWA,) outside weights
-             sigma: float = 3.0):
-    """RPN losses over the anchor map with ignore masking (ref rpn.py)."""
+             sigma: float = 3.0,
+             inside_weight: float = 1.0):
+    """RPN losses over the anchor map with ignore masking (ref rpn.py).
+
+    `inside_weight` is the reference's RPN_BBOX_INSIDE_WEIGHTS (uniform
+    scalar form): it scales the regression DIFF before the smooth-L1 hinge,
+    exactly like _smooth_l1_loss(in_w * (pred - target))."""
     logits = rpn_cls.reshape(-1, 2)
     use = labels >= 0
     onehot = jax.nn.one_hot(jnp.maximum(labels, 0), 2)
@@ -110,7 +115,9 @@ def rpn_loss(rpn_cls: jnp.ndarray,          # (H, W, 2A)
     cls_loss = jnp.sum(jnp.where(use, ce, 0.0)) / n_cls
 
     pred = rpn_bbox.reshape(-1, 4)
-    box_loss = jnp.sum(smooth_l1(pred, bbox_targets, sigma) * bbox_weights[:, None])
+    box_loss = jnp.sum(smooth_l1(inside_weight * pred,
+                                 inside_weight * bbox_targets, sigma)
+                       * bbox_weights[:, None])
     return cls_loss, box_loss
 
 

@@ -25,6 +25,17 @@ import jax.numpy as jnp
 from dtt.core import boxes as box_ops
 from dtt.core.config import RoIConfig, RPNConfig, TrackConfig
 
+
+def roi_norm_params(cfg: RoIConfig):
+    """(means, stds) for RCNN bbox-target normalization, honoring
+    cfg.bbox_normalize_targets_precomputed (ref TRAIN.BBOX_NORMALIZE_
+    TARGETS_PRECOMPUTED): when off, targets are raw deltas and decode
+    must not denormalize — both sides use this one helper."""
+    if cfg.bbox_normalize_targets_precomputed:
+        return (jnp.asarray(cfg.bbox_normalize_means),
+                jnp.asarray(cfg.bbox_normalize_stds))
+    return jnp.zeros(4), jnp.ones(4)
+
 _NEG = -1e9
 
 
@@ -162,8 +173,7 @@ def proposal_target(rois: jnp.ndarray,        # (R, 4) RPN proposals, frame t
     labels = jnp.where(sel_valid, labels, 0)
 
     matched = gt_boxes[sel_arg]
-    means = jnp.asarray(cfg.bbox_normalize_means)
-    stds = jnp.asarray(cfg.bbox_normalize_stds)
+    means, stds = roi_norm_params(cfg)
     bbox_targets = jnp.where(
         sel_fg[:, None],
         box_ops.encode_boxes(sel_rois, matched, means, stds), 0.0)
@@ -212,8 +222,7 @@ def label_all_rois(rois: jnp.ndarray, roi_valid: jnp.ndarray,
     labels = jnp.where(fg, gt_labels[argmax_gt], 0)
 
     matched = gt_boxes[argmax_gt]
-    means = jnp.asarray(cfg.bbox_normalize_means)
-    stds = jnp.asarray(cfg.bbox_normalize_stds)
+    means, stds = roi_norm_params(cfg)
     bbox_targets = jnp.where(
         fg[:, None], box_ops.encode_boxes(all_rois, matched, means, stds), 0.0)
 

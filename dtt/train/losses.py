@@ -128,7 +128,8 @@ def pair_loss(cfg: Config, model: DnT, params, anchors: jnp.ndarray,
                                    h_img, w_img, keys[2 * f], mcfg.rpn)
         l_cls, l_box = rpn_loss(feats.rpn_cls[0], feats.rpn_bbox[0],
                                 at.labels, at.bbox_targets, at.bbox_weights,
-                                sigma=3.0)
+                                sigma=3.0,
+                                inside_weight=mcfg.rpn.bbox_inside_weight)
         rpn_cls_total += l_cls
         rpn_box_total += l_box
 

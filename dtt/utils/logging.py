@@ -17,9 +17,10 @@ class MetricLogger:
     """Writes one json line per log call; optionally mirrors to TensorBoard."""
 
     def __init__(self, out_dir: str, use_tensorboard: bool = False,
-                 filename: str = "metrics.jsonl"):
+                 filename: str = "metrics.jsonl", run_name: str | None = None):
         os.makedirs(out_dir, exist_ok=True)
         self.path = os.path.join(out_dir, filename)
+        self.run_name = run_name  # cfg.exp_name: stamped into every row
         self._tb = None
         if use_tensorboard:
             try:
@@ -31,6 +32,8 @@ class MetricLogger:
 
     def log(self, step: int, metrics: Mapping[str, float], prefix: str = ""):
         row = {"step": int(step), "wall_time": round(time.perf_counter() - self._t0, 3)}
+        if self.run_name:
+            row["exp"] = self.run_name
         for k, v in metrics.items():
             row[prefix + k] = float(v)
         with open(self.path, "a") as f:

@@ -260,3 +260,51 @@ def test_anchor_target_excludes_canvas_padding(rng):
     inside = (a[:, 0] >= 0) & (a[:, 1] >= 0) & (a[:, 2] < 64) & (a[:, 3] < 64)
     assert sampled.any()
     assert not sampled[~inside].any(), "padding anchors were sampled"
+
+
+def test_bbox_normalize_targets_precomputed_flag(rng):
+    """cfg.roi.bbox_normalize_targets_precomputed (dead config in round 2):
+    off => raw encode() deltas (no stds division), and the decode side skips
+    denormalization through the same roi_norm_params helper."""
+    from dtt.core import boxes as box_ops
+    from dtt.models.targets import roi_norm_params
+
+    cfg = Config().model.roi
+    cfg_off = cfg.replace(bbox_normalize_targets_precomputed=False)
+
+    m_on, s_on = roi_norm_params(cfg)
+    m_off, s_off = roi_norm_params(cfg_off)
+    np.testing.assert_allclose(np.asarray(s_on), cfg.bbox_normalize_stds)
+    np.testing.assert_allclose(np.asarray(m_off), 0.0)
+    np.testing.assert_allclose(np.asarray(s_off), 1.0)
+
+    # encode->decode roundtrip consistent under BOTH settings
+    rois = jnp.asarray([[10.0, 10.0, 50.0, 40.0]])
+    gt = jnp.asarray([[12.0, 8.0, 55.0, 46.0]])
+    for m, s in ((m_on, s_on), (m_off, s_off)):
+        deltas = box_ops.encode_boxes(rois, gt, m, s)
+        back = box_ops.decode_boxes(rois, deltas, m, s)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(gt),
+                                   rtol=1e-5, atol=1e-3)
+
+
+def test_rpn_loss_inside_weight_scales_diff():
+    """cfg.rpn.bbox_inside_weight scales the regression diff BEFORE the
+    smooth-L1 hinge (reference _smooth_l1_loss semantics), so halving it is
+    NOT the same as halving the loss for large diffs."""
+    from dtt.models.rpn import rpn_loss
+
+    a = 12
+    rpn_cls = jnp.zeros((1, 1, 2 * a))
+    rpn_bbox = jnp.zeros((1, 1, 4 * a))
+    labels = jnp.zeros((a,), jnp.int32).at[0].set(1)
+    targets = jnp.zeros((a, 4)).at[0].set(2.0)   # large diff: linear region
+    weights = jnp.zeros((a,)).at[0].set(1.0)
+
+    _, box_full = rpn_loss(rpn_cls, rpn_bbox, labels, targets, weights,
+                           sigma=1.0, inside_weight=1.0)
+    _, box_half = rpn_loss(rpn_cls, rpn_bbox, labels, targets, weights,
+                           sigma=1.0, inside_weight=0.5)
+    # |diff|=2: loss 4*(2-0.5)=6; |diff|=1: 4*(1-0.5)=2 — NOT 6/2
+    np.testing.assert_allclose(float(box_full), 6.0, rtol=1e-6)
+    np.testing.assert_allclose(float(box_half), 2.0, rtol=1e-6)

@@ -174,8 +174,9 @@ def main():
     stream = device_prefetch(stream, mesh=mesh, size=2, cast=cast)
 
     # ---- loop ----
+    from dtt.utils.logging import MetricLogger
     key = jax.random.PRNGKey(cfg.train.seed + 1)
-    log_path = os.path.join(args.out, "metrics.jsonl")
+    logger = MetricLogger(args.out, run_name=cfg.exp_name)
     t0 = time.perf_counter()
     # host-side step counter: fetching int(state.step) every iteration would
     # block on the ~25 ms tunnel sync per step and serialize dispatch
@@ -195,10 +196,8 @@ def main():
             dt = time.perf_counter() - t0
             pps = (step - timer_step) * batch / max(dt, 1e-9)
             m = {k: round(float(v), 4) for k, v in metrics.items()}
-            line = {"step": step, "pairs_per_sec": round(pps, 2), **m}
+            line = logger.log(step, {"pairs_per_sec": round(pps, 2), **m})
             print(json.dumps(line))
-            with open(log_path, "a") as f:
-                f.write(json.dumps(line) + "\n")
         if step % cfg.train.checkpoint_every == 0:
             path = save_checkpoint(args.out, state, cfg)
             print(f"checkpoint: {path}")
