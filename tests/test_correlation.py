@@ -132,3 +132,52 @@ def test_mm_gradients_match(feats):
     for a, b in zip(gx, gm):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("d,s", [(2, 1), (4, 2), (8, 2)])
+def test_pallas_mm_matches_oracle(feats, d, s):
+    from dtt.ops.correlation import correlation_pallas_mm
+    f1, f2 = feats
+    want = np_correlation(f1, f2, d, s)
+    got = np.asarray(correlation_pallas_mm(jnp.asarray(f1), jnp.asarray(f2),
+                                           d, s))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_mm_channel_blocking(rng):
+    """multi-block channel grid (c=40, block=16 -> 3 padded blocks)
+    accumulates across blocks correctly."""
+    from dtt.ops.correlation import _correlation_pallas_mm_raw
+    f1 = rng.randn(6, 9, 40).astype(np.float32)
+    f2 = rng.randn(6, 9, 40).astype(np.float32)
+    want = np_correlation(f1, f2, 2, 2)
+    got = np.asarray(_correlation_pallas_mm_raw(
+        jnp.asarray(f1), jnp.asarray(f2), 2, 2, channel_block=16))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_mm_gradients_match(feats):
+    from dtt.ops.correlation import correlation_pallas_mm
+    f1, f2 = feats
+    a1, a2 = jnp.asarray(f1), jnp.asarray(f2)
+
+    def loss(fn):
+        return lambda x, y: jnp.sum(fn(x, y, 2, 2) ** 2)
+
+    gx = jax.grad(loss(correlation_xla), argnums=(0, 1))(a1, a2)
+    gp = jax.grad(loss(correlation_pallas_mm), argnums=(0, 1))(a1, a2)
+    for a, b in zip(gx, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_mm_vmap(feats):
+    from dtt.ops.correlation import correlation_pallas_mm
+    f1, f2 = feats
+    b1 = jnp.stack([jnp.asarray(f1)] * 3)
+    b2 = jnp.stack([jnp.asarray(f2)] * 3)
+    out = jax.vmap(lambda a, b: correlation_pallas_mm(a, b, 2, 2))(b1, b2)
+    want = np_correlation(f1, f2, 2, 2)
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(out[i]), want,
+                                   rtol=1e-5, atol=1e-5)
