@@ -200,12 +200,13 @@ def sample_snippet_params(rng: np.random.RandomState, num_frames: int,
 
 def synthetic_snippet(rng: np.random.RandomState, num_frames: int, height: int,
                       width: int, num_classes: int, max_gt: int,
-                      num_objects: int = 2, max_step: float = 6.0):
+                      num_objects: int = 2, max_step: float = 6.0,
+                      uint8: bool = False):
     """A T-frame snippet with constant-velocity objects (for linking tests).
 
-    Returns images (T, H, W, 3) float32 (exact cast of the uint8 canvases —
-    same pixel distribution as training), gt_boxes (T, G, 4),
-    gt_labels (G,), gt_valid (T, G).
+    Returns images (T, H, W, 3) — the uint8 canvases when `uint8`, else
+    their exact float32 cast (same pixel distribution as training either
+    way) — plus gt_boxes (T, G, 4), gt_labels (G,), gt_valid (T, G).
     """
     gt_boxes, gt_labels, gt_valid = sample_snippet_params(
         rng, num_frames, height, width, num_classes, max_gt, num_objects,
@@ -213,4 +214,6 @@ def synthetic_snippet(rng: np.random.RandomState, num_frames: int, height: int,
     images = _background(rng, (num_frames, height, width, 3))
     for t in range(num_frames):
         render_frame(images[t], gt_boxes[t], gt_labels, gt_valid[t])
-    return images.astype(np.float32), gt_boxes, gt_labels, gt_valid
+    if not uint8:
+        images = images.astype(np.float32)
+    return images, gt_boxes, gt_labels, gt_valid

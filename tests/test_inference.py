@@ -145,3 +145,28 @@ def test_pooling_mode_dispatch(mode):
     tstep = make_train_step(cfg, model2, (4, 6))
     state, metrics = tstep(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["total"]))
+
+
+def test_uint8_eval_matches_float(rng):
+    """uint8 frames into the jitted eval steps == host-normalized float32
+    (device normalization is exact on integer pixels): tunnel uploads drop
+    4x with identical detections."""
+    import jax
+    import jax.numpy as jnp
+    from dtt.core.config import load_config
+    from dtt.eval.inference import evaluate_snippet_video, make_video_step
+    from dtt.train.trainer import create_train_state
+
+    cfg = load_config("configs/tiny_synth.yml")
+    h, w = cfg.input.canvas_height, cfg.input.canvas_width
+    model, state = create_train_state(
+        cfg, jax.random.PRNGKey(0), jnp.zeros((1, 2, h, w, 3), jnp.float32))
+    step = make_video_step(cfg, model, frames_per_chunk=5)
+
+    u8 = rng.randint(0, 256, (6, h, w, 3)).astype(np.uint8)
+    f32 = u8.astype(np.float32) - np.asarray(cfg.input.pixel_means,
+                                             np.float32)
+    out_u8 = evaluate_snippet_video(cfg, step, state.params, u8)
+    out_f = evaluate_snippet_video(cfg, step, state.params, f32)
+    for a, b in zip(out_u8, out_f):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
