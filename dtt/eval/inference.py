@@ -131,6 +131,21 @@ def _detect_and_track(cfg: Config, anchors, f_t, track_maps, im_hw, scale
     return PairOutputs(boxes, scores, valid, tracked)
 
 
+def _detect_and_track_fused(cfg: Config, anchors, f_t, fused_maps, im_hw,
+                            scale) -> PairOutputs:
+    """_detect_and_track with the heads pooled ONCE from DnT.fused_psmaps
+    maps — equal results (pooling is linear per channel), ~2.3x cheaper
+    heads stage (tools/profile_heads.py). psroi pooling_mode only."""
+    from dtt.models.dnt import decode_detections_batched, detect_track_fused
+    ecfg = cfg.eval
+    props, det, deltas = detect_track_fused(cfg.model, f_t, fused_maps,
+                                            anchors, im_hw[0], im_hw[1], scale)
+    boxes, scores, valid, tracked = decode_detections_batched(
+        cfg.model, det, im_hw[0], im_hw[1], ecfg.score_thresh,
+        ecfg.nms_thresh, ecfg.max_per_class, track_deltas=deltas)
+    return PairOutputs(boxes, scores, valid, tracked)
+
+
 def make_pair_step(cfg: Config, model: DnT, batch: int = 4):
     """jitted (params, pairs (B,2,H,W,3), im_hw (2,), scale) -> PairOutputs.
 
@@ -141,13 +156,24 @@ def make_pair_step(cfg: Config, model: DnT, batch: int = 4):
     h, w = cfg.input.canvas_height, cfg.input.canvas_width
     anchors = jnp.asarray(grid_anchors_for(cfg.model.anchors, h // 16, w // 16))
 
+    fused = cfg.model.roi.pooling_mode == "psroi"
+
     @jax.jit
     def step(params, pairs, im_hw, scale):
         # uint8 canvases: normalized on device (exact; 4x fewer H2D bytes
         # through the tunnel), zero-padding invariant preserved via im_hw
         pairs = normalize_device_images(pairs, im_hw, cfg.input.pixel_means)
-        f_t, f_tau, track_maps = model.apply(params, pairs)
-        return _detect_and_track(cfg, anchors, f_t, track_maps, im_hw, scale)
+        if not fused:
+            f_t, f_tau, track_maps = model.apply(params, pairs)
+            return _detect_and_track(cfg, anchors, f_t, track_maps, im_hw,
+                                     scale)
+        flat = pairs.reshape(-1, *pairs.shape[2:])
+        feats = model.apply(params, flat, method=DnT.frame_trunk)
+        f_t = jax.tree.map(lambda x: x[0::2], feats)
+        f_tau = jax.tree.map(lambda x: x[1::2], feats)
+        fused_maps = model.apply(params, f_t, f_tau, method=DnT.fused_psmaps)
+        return _detect_and_track_fused(cfg, anchors, f_t, fused_maps, im_hw,
+                                       scale)
 
     return step
 
@@ -165,16 +191,25 @@ def make_video_step(cfg: Config, model: DnT, frames_per_chunk: int = 33):
     anchors = jnp.asarray(grid_anchors_for(cfg.model.anchors, h // 16, w // 16))
     assert frames_per_chunk >= 2, "a chunk needs at least one frame pair"
 
+    fused = cfg.model.roi.pooling_mode == "psroi"
+
     @jax.jit
     def step(params, frames, im_hw, scale):
         assert frames.shape[0] == frames_per_chunk, (
             f"expected chunks of {frames_per_chunk} frames, got {frames.shape}")
         frames = normalize_device_images(frames, im_hw, cfg.input.pixel_means)
-        feats = model.apply(params, frames, method=DnT.frame_features)
+        trunk = DnT.frame_trunk if fused else DnT.frame_features
+        feats = model.apply(params, frames, method=trunk)
         f_t = jax.tree.map(lambda x: x[:-1], feats)
         f_tau = jax.tree.map(lambda x: x[1:], feats)
-        track_maps = model.apply(params, f_t, f_tau, method=DnT.track_psmaps)
-        return _detect_and_track(cfg, anchors, f_t, track_maps, im_hw, scale)
+        if not fused:
+            track_maps = model.apply(params, f_t, f_tau,
+                                     method=DnT.track_psmaps)
+            return _detect_and_track(cfg, anchors, f_t, track_maps, im_hw,
+                                     scale)
+        fused_maps = model.apply(params, f_t, f_tau, method=DnT.fused_psmaps)
+        return _detect_and_track_fused(cfg, anchors, f_t, fused_maps, im_hw,
+                                       scale)
 
     step.frames_per_chunk = frames_per_chunk  # consumed by evaluate_snippet_video
     return step

@@ -97,12 +97,13 @@ class DnT(nn.Module):
                           cls_maps=cls_maps, bbox_maps=bbox_maps,
                           reduced=reduced, corr_feats=corr_feats)
 
-    def track_psmaps(self, feats_t: FrameFeats, feats_tau: FrameFeats
+    def _track_input(self, feats_t: FrameFeats, feats_tau: FrameFeats
                      ) -> jnp.ndarray:
-        """Cross-frame correlation + 1x1 conv -> (B, H, W, k^2*4) track maps.
+        """Tracking-head input: [reduced_t, reduced_τ, corr@scales] concat.
 
         D&T paper eq. (7): the tracking regressor sees {correlation features,
-        frame-t features, frame-τ features}.
+        frame-t features, frame-τ features}. reduced_t is the FIRST channel
+        block — fused_psmaps relies on that to address the cls/bbox kernels.
         """
         c = self.cfg.track
         corr_fn = lambda a, b: correlation(a, b, c.max_displacement, c.stride)
@@ -119,10 +120,70 @@ class DnT(nn.Module):
         corrs = [jax.vmap(corr_fn)(prep(feats_t.corr_feats[s]),
                                    prep(feats_tau.corr_feats[s]))
                  for s in c.scales]
-        stacked = jnp.concatenate(
+        return jnp.concatenate(
             [feats_t.reduced, feats_tau.reduced]
             + [x.astype(feats_t.reduced.dtype) for x in corrs], axis=-1)
-        return self.track_conv(stacked).astype(jnp.float32)
+
+    def track_psmaps(self, feats_t: FrameFeats, feats_tau: FrameFeats
+                     ) -> jnp.ndarray:
+        """Cross-frame correlation + 1x1 conv -> (B, H, W, k^2*4) track maps."""
+        return self.track_conv(
+            self._track_input(feats_t, feats_tau)).astype(jnp.float32)
+
+    def fused_psmaps(self, feats_t: FrameFeats, feats_tau: FrameFeats
+                     ) -> jnp.ndarray:
+        """ALL head ps-maps in one conv: (B, H, W, k^2*(Dc+Db+4)), bin-major
+        per-bin layout [cls | bbox | track].
+
+        The heads stage was ~26% of the inference step and its cost is
+        GATHER-ROW bound, not channel bound (tools/profile_heads.py: a D=43
+        pool costs the same ~20 ms as a D=31 one, three separate pools 48 ms)
+        — so pooling once over a fused map is ~2.3x cheaper. Interleaving
+        three conv outputs into that fused map costs ~7.4 ms/chunk of HBM
+        traffic; instead the three 1x1 kernels are assembled into ONE conv
+        over the tracking input (whose first channel block IS `reduced`, the
+        cls/bbox input — their kernel rows land there, zeros elsewhere; ~2 ms
+        of extra MXU work at 32 frames). Numerically identical to the three
+        separate convs up to bf16 accumulation order; parity-tested in
+        tests/test_fused_heads.py. Param tree unchanged (importer-compatible).
+        """
+        stacked = self._track_input(feats_t, feats_tau)
+        cr = feats_t.reduced.shape[-1]
+        cs = stacked.shape[-1]
+        ck = self.cls_conv.variables["params"]["kernel"]    # (1,1,cr,k2*dc)
+        bk = self.bbox_conv.variables["params"]["kernel"]   # (1,1,cr,k2*db)
+        tk = self.track_conv.variables["params"]["kernel"]  # (1,1,cs,k2*dt)
+        cb_, bb_, tb_ = (m.variables["params"]["bias"] for m in
+                        (self.cls_conv, self.bbox_conv, self.track_conv))
+        c = self.cfg
+        k2 = c.roi.ps_grid ** 2 if c.roi.pooling_mode == "psroi" else 1
+        dc, db, dt = (x.shape[-1] // k2 for x in (ck, bk, tk))
+        d = dc + db + dt
+        dtype = stacked.dtype
+        kern = jnp.zeros((cs, k2, d), jnp.float32)
+        kern = kern.at[:cr, :, :dc].set(ck.reshape(cr, k2, dc))
+        kern = kern.at[:cr, :, dc:dc + db].set(bk.reshape(cr, k2, db))
+        kern = kern.at[:, :, dc + db:].set(tk.reshape(cs, k2, dt))
+        bias = jnp.concatenate([cb_.reshape(k2, dc), bb_.reshape(k2, db),
+                                tb_.reshape(k2, dt)], axis=-1).reshape(k2 * d)
+        out = jax.lax.conv_general_dilated(
+            stacked, kern.reshape(1, 1, cs, k2 * d).astype(dtype),
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return (out + bias.astype(dtype)).astype(jnp.float32)
+
+    def frame_trunk(self, images: jnp.ndarray) -> FrameFeats:
+        """frame_features WITHOUT the cls/bbox map convs (their kernels run
+        inside fused_psmaps on the fused eval path); cls_maps/bbox_maps are
+        None."""
+        c3, c4, c5 = self.backbone(images)
+        rpn_cls, rpn_bbox = self.rpn(c4)
+        reduced = nn.relu(self.reduce(c5))
+        c3p = nn.max_pool(c3, (2, 2), strides=(2, 2))
+        corr_feats = {"c3": c3p, "c4": c4, "c5": reduced}
+        return FrameFeats(rpn_cls=rpn_cls, rpn_bbox=rpn_bbox, cls_maps=None,
+                          bbox_maps=None, reduced=reduced,
+                          corr_feats=corr_feats)
 
     def __call__(self, image_pairs: jnp.ndarray):
         """(B, 2, H, W, 3) -> (frame-t feats, frame-τ feats, track ps-maps).
@@ -260,6 +321,39 @@ def detect_frames_batched(cfg: ModelConfig, feats: FrameFeats,
     return props, Detections(rois=props.rois, roi_valid=props.valid,
                              cls_prob=jax.nn.softmax(cls_score, axis=-1),
                              bbox_pred=bbox_pred)
+
+
+def detect_track_fused(cfg: ModelConfig, feats: FrameFeats,
+                       fused_maps: jnp.ndarray, anchors: jnp.ndarray,
+                       im_height, im_width, im_scale
+                       ) -> tuple[Proposals, Detections, jnp.ndarray]:
+    """Batched proposals + ONE fused PSRoI pool -> detections + track deltas.
+
+    Consumes DnT.fused_psmaps output (per-bin [cls | bbox | track] layout);
+    pooling is linear per channel, so splitting the pooled vote equals the
+    three separate pools of detect_frames_batched + track_rois_batched
+    exactly — at one-third the gather cost (see fused_psmaps docstring).
+    psroi pooling_mode only.
+    """
+    assert cfg.roi.pooling_mode == "psroi"
+    spatial_scale = 1.0 / cfg.anchors.feat_stride
+
+    def proposals_one(rpn_cls, rpn_bbox):
+        return proposal_layer(rpn_cls, rpn_bbox, anchors,
+                              im_height, im_width, im_scale, cfg.rpn, False)
+
+    props = jax.vmap(proposals_one)(feats.rpn_cls, feats.rpn_bbox)
+    pooled = psroi_pool_batched(fused_maps, props.rois, spatial_scale,
+                                cfg.roi.ps_grid).mean(axis=(2, 3))
+    dc = cfg.num_classes
+    db = 8 if cfg.roi.class_agnostic else 4 * cfg.num_classes
+    cls_score = pooled[..., :dc]
+    bbox_pred = pooled[..., dc:dc + db]
+    track_deltas = pooled[..., dc + db:]
+    det = Detections(rois=props.rois, roi_valid=props.valid,
+                     cls_prob=jax.nn.softmax(cls_score, axis=-1),
+                     bbox_pred=bbox_pred)
+    return props, det, track_deltas
 
 
 def track_rois_batched(cfg: ModelConfig, track_maps: jnp.ndarray,

@@ -308,6 +308,77 @@ def _psroi_mm_bwd(spatial_scale, group_size, res, g):
 psroi_pool_pallas_mm.defvjp(_psroi_mm_fwd, _psroi_mm_bwd)
 
 
+def _psroi_mm_kernel_b(r_ref,    # VMEM (1, 1, N, H+1)
+                       c_ref,    # VMEM (1, 1, N, W+1)
+                       sat_ref,  # VMEM (1, 1, H+1, D*(W+1))
+                       out_ref,  # VMEM (1, 1, 1, N, D)
+                       *, w1: int, d: int):
+    r = r_ref[0, 0]
+    slab = sat_ref[0, 0]
+    t1 = jnp.dot(r, slab, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)   # (N, D*(W+1))
+    cind = pltpu.repeat(c_ref[0, 0], d, axis=1)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (w1 * d, d), 0) // w1
+           == jax.lax.broadcasted_iota(jnp.int32, (w1 * d, d), 1))
+    out_ref[0, 0, 0] = jnp.dot(t1 * cind, sel.astype(jnp.float32),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def psroi_pool_batched_pallas_mm(features: jnp.ndarray, rois: jnp.ndarray,
+                                 spatial_scale: float, group_size: int
+                                 ) -> jnp.ndarray:
+    """Frame-batched Pallas MXU pooling: (B, H, W, k*k*D), (B, N, 4) ->
+    (B, N, k, k, D).
+
+    The (frame, bin) grid runs _psroi_mm_kernel's bilinear-form matmuls per
+    program — an MXU alternative to psroi_pool_batched's gather-row-bound
+    form (the gather moves ~1 GB of 128-lane-padded rows per 32-frame chunk
+    regardless of D; see tools/profile_heads.py). Inference-only form (no
+    custom_vjp): eval pools detection RoIs, which carry no gradient.
+    """
+    b, h, w, c = features.shape
+    k = group_size
+    d = c // (k * k)
+    n = rois.shape[1]
+    assert d * k * k == c, f"channels {c} not divisible by k^2={k * k}"
+    hs, he, ws, we = jax.vmap(
+        lambda r: _roi_bounds(r, spatial_scale, k, h, w))(rois)  # (B, N, k)
+    r, cind = jax.vmap(
+        lambda a, bb, c0, c1: _row_col_indicators(a, bb, c0, c1, h, w)
+    )(hs, he, ws, we)                                  # (B, N, k, H+1/W+1)
+    r = r.transpose(0, 2, 1, 3)                        # (B, k, N, H+1)
+    cind = cind.transpose(0, 2, 1, 3)                  # (B, k, N, W+1)
+    sat = jax.vmap(_sat)(features)                     # (B, H+1, W+1, C) f32
+    sat_binned = (sat.reshape(b, h + 1, w + 1, k * k, d)
+                  .transpose(0, 3, 1, 4, 2)
+                  .reshape(b, k * k, h + 1, d * (w + 1)))
+
+    sums = pl.pallas_call(
+        functools.partial(_psroi_mm_kernel_b, w1=w + 1, d=d),
+        grid=(b, k, k),
+        in_specs=[
+            pl.BlockSpec((1, 1, n, h + 1), lambda bi, ph, pw: (bi, ph, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, w + 1), lambda bi, ph, pw: (bi, pw, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h + 1, d * (w + 1)),
+                         lambda bi, ph, pw: (bi, ph * k + pw, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, n, d),
+                               lambda bi, ph, pw: (bi, ph, pw, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, k, k, n, d), jnp.float32),
+        interpret=_use_interpret(),
+    )(r, cind, sat_binned)
+
+    area = jax.vmap(_bin_areas)(hs, he, ws, we)[..., None]  # (B, N, k, k, 1)
+    sums = sums.transpose(0, 3, 1, 2, 4)               # (B, N, k, k, D)
+    out = jnp.where(area > 0, sums / jnp.maximum(area, 1.0), 0.0)
+    return out.astype(features.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernel
 # ---------------------------------------------------------------------------

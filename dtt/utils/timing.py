@@ -36,23 +36,28 @@ def sync_latency(samples: int = 5) -> float:
     return ts[0]  # min: sync noise is one-sided positive
 
 
-def chained_time(make_scalar_step, iters: int = 10, repeats: int = 3) -> float:
+def chained_time(make_scalar_step, iters: int = 10, repeats: int = 3,
+                 args: tuple = ()) -> float:
     """Mean seconds per iteration of `make_scalar_step`.
 
-    make_scalar_step: fn(carry_scalar) -> new_scalar where the computation
-    of interest runs inside and its result contributes to the new scalar.
+    make_scalar_step: fn(carry_scalar, *args) -> new_scalar where the
+    computation of interest runs inside and its result contributes to the
+    new scalar. Large operands MUST go through `args` (not closures): a
+    closed-over device array becomes a jit constant, and this machine's
+    remote compile service ships constants in the compile request —
+    hundreds of MB of maps turn into an HTTP 413.
     """
 
     @jax.jit
-    def run(c0):
+    def run(c0, *ops):
         return jax.lax.fori_loop(0, iters,
-                                 lambda i, c: make_scalar_step(c), c0)
+                                 lambda i, c: make_scalar_step(c, *ops), c0)
 
-    float(run(jnp.float32(0.0)))  # compile + warm
+    float(run(jnp.float32(0.0), *args))  # compile + warm
     lat = sync_latency()
     best = float("inf")
     for r in range(repeats):
         t0 = time.perf_counter()
-        float(run(jnp.float32(r) * 1e-6))
+        float(run(jnp.float32(r) * 1e-6, *args))
         best = min(best, time.perf_counter() - t0 - lat)
     return max(best, 0.0) / iters

@@ -144,3 +144,19 @@ def test_batched_matches_vmap(rng):
         f, jnp.asarray(rois)))))(jnp.asarray(feats))
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_batched_pallas_mm_matches_oracle(rng):
+    from dtt.ops.psroi import psroi_pool_batched_pallas_mm
+    b, h, w, k, d, n = 3, 12, 16, 3, 5, 6
+    feats = rng.randn(b, h, w, d * k * k).astype(np.float32)
+    rois = np.stack([
+        rng.uniform(0, 150, (b, n)), rng.uniform(0, 100, (b, n)),
+        rng.uniform(150, 250, (b, n)), rng.uniform(100, 190, (b, n)),
+    ], axis=2).astype(np.float32)
+    want = jax.vmap(lambda f, r: psroi_pool_xla(f, r, 1 / 16.0, k))(
+        jnp.asarray(feats), jnp.asarray(rois))
+    got = psroi_pool_batched_pallas_mm(jnp.asarray(feats), jnp.asarray(rois),
+                                       1 / 16.0, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -20,7 +20,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
     from dtt.ops.correlation import (correlation_mm, correlation_pallas,
-                                     correlation_xla)
+                                     correlation_pallas_mm, correlation_xla)
     from dtt.utils.timing import chained_time
 
     print(f"backend={jax.default_backend()}")
@@ -30,7 +30,7 @@ def main():
               ("c4  38x68x1024", 38, 68, 1024),
               ("c5  38x68x1024", 38, 68, 1024)]
     impls = {"xla": correlation_xla, "pallas": correlation_pallas,
-             "mm": correlation_mm}
+             "mm": correlation_mm, "pallas_mm": correlation_pallas_mm}
 
     for name, h, w, c in scales:
         f1 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32)).astype(jnp.bfloat16)

@@ -52,7 +52,10 @@ def main():
     p.add_argument("--out", default="/tmp/flagship_synth")
     p.add_argument("--steps", type=int, default=None,
                    help="override train.total_steps")
-    p.add_argument("--snippets", type=int, default=8)
+    # 32 snippets ~= 64 object tracks over 30 classes; the old 8-snippet
+    # default (~16 tracks) made per-class AP a coin flip (one missed track
+    # = -7 points of mAP)
+    p.add_argument("--snippets", type=int, default=32)
     p.add_argument("--resume", action="store_true",
                    help="continue training an existing --out checkpoint")
     p.add_argument("--skip-train", action="store_true",
