@@ -29,11 +29,9 @@ def _texture(cls, yy, xx):
 
     cls is a traced int32 scalar; channel selection becomes a where() over
     the 3-channel axis instead of python indexing."""
-    ch = jnp.arange(3)
-    main_c = jnp.mod(cls, 3)
-    side_c = jnp.mod(cls + 1, 3)
-    base = (jnp.where(ch == main_c, 80.0 + 40.0 * jnp.mod(cls, 5), 0.0)
-            + jnp.where(ch == side_c, 30.0 * jnp.mod(cls // 3, 4), 0.0))
+    digits = jnp.stack([jnp.mod(cls, 4), jnp.mod(cls // 4, 4),
+                        jnp.mod(cls // 16, 4)])
+    base = 40.0 + 70.0 * digits.astype(jnp.float32)
     period = jnp.maximum(4 + cls, 4).astype(jnp.float32)
     stripe = 20.0 * jnp.sin(2.0 * jnp.pi * (yy + xx) / period)
     return base[None, None, :] + stripe[:, :, None]       # (H, W, 3) float32

@@ -32,14 +32,22 @@ def _background(rng: np.random.RandomState, shape) -> np.ndarray:
 def object_texture(cls: int, yy: np.ndarray, xx: np.ndarray) -> np.ndarray:
     """Class-coded texture patch (float, pre-clip) at absolute canvas coords.
 
-    Channel `cls % 3` carries 80+40*(cls % 5), channel `(cls+1) % 3` carries
-    30*((cls//3) % 4), plus a diagonal stripe of period 4+cls — together a
-    unique appearance code per class id. Shared formula with the device
-    renderer (dtt/data/device_synth.py), parity-tested.
+    Each class id maps to base-4 digits (d0, d1, d2) = (cls%4, cls//4%4,
+    cls//16%4) and each channel carries level 40+70*digit: any two classes
+    differ by >=70 on some channel, > 2x the stripe amplitude (20) plus
+    quantization — so downscaling can never collapse two classes onto the
+    same appearance. (The round-2 code packed 30 classes into a lattice
+    where pairs like 5<->20 and 17<->2 differed by only 30 on ONE channel;
+    both scored a persistent AP 0.0 in the flagship run — appearance
+    collision, i.e. label noise, not a property of the model graph.)
+    A diagonal stripe of period 4+cls keeps per-class high-frequency
+    texture. Shared formula with the device renderer
+    (dtt/data/device_synth.py), parity-tested.
     """
-    base = np.zeros((*np.broadcast_shapes(yy.shape, xx.shape), 3), np.float32)
-    base[..., cls % 3] = 80.0 + 40.0 * (cls % 5)
-    base[..., (cls + 1) % 3] = 30.0 * ((cls // 3) % 4)
+    base = np.empty((*np.broadcast_shapes(yy.shape, xx.shape), 3), np.float32)
+    base[..., 0] = 40.0 + 70.0 * (cls % 4)
+    base[..., 1] = 40.0 + 70.0 * ((cls // 4) % 4)
+    base[..., 2] = 40.0 + 70.0 * ((cls // 16) % 4)
     stripe = 20.0 * np.sin(2 * np.pi * (yy + xx) / max(4 + cls, 4))
     return base + stripe[..., None].astype(np.float32)
 

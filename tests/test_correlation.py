@@ -144,15 +144,15 @@ def test_pallas_mm_matches_oracle(feats, d, s):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
-def test_pallas_mm_channel_blocking(rng):
-    """multi-block channel grid (c=40, block=16 -> 3 padded blocks)
-    accumulates across blocks correctly."""
+def test_pallas_mm_row_tiling(rng):
+    """multi-tile row grid (h=6, row_block=4 -> 2 tiles w/ padding) matches
+    the oracle, including the shifted f2 reads across tile boundaries."""
     from dtt.ops.correlation import _correlation_pallas_mm_raw
     f1 = rng.randn(6, 9, 40).astype(np.float32)
     f2 = rng.randn(6, 9, 40).astype(np.float32)
     want = np_correlation(f1, f2, 2, 2)
     got = np.asarray(_correlation_pallas_mm_raw(
-        jnp.asarray(f1), jnp.asarray(f2), 2, 2, channel_block=16))
+        jnp.asarray(f1), jnp.asarray(f2), 2, 2, row_block=4))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 

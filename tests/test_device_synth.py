@@ -33,6 +33,20 @@ def test_device_render_matches_host_pixels(rng):
             assert (diff == 0).mean() > 0.999
 
 
+def test_class_codes_pairwise_separable():
+    """Every class pair 1..30 differs by >= 70 on some channel — more than
+    2x the stripe amplitude (20), so no two classes can collapse onto the
+    same appearance after downscale/quantization. Regression for the
+    round-2 code where 5<->20 and 17<->2 differed by only 30 on one
+    channel and both scored persistent AP 0.0 in the flagship run."""
+    yy = np.zeros((1, 1), np.float32)
+    bases = np.array([synthetic.object_texture(c, yy, yy)[0, 0]
+                      for c in range(1, 31)])     # stripe is shared at (0,0)
+    for i in range(30):
+        for j in range(i + 1, 30):
+            assert np.abs(bases[i] - bases[j]).max() >= 70.0 - 1e-4, (i, j)
+
+
 def test_device_render_skips_invalid_and_degenerate(rng):
     h, w = 32, 32
     boxes = np.array([[5, 5, 20, 20], [8, 8, 8, 8], [2, 2, 25, 25]],
