@@ -215,6 +215,61 @@ def make_video_step(cfg: Config, model: DnT, frames_per_chunk: int = 33):
     return step
 
 
+def make_video_step_parallel(cfg: Config, model: DnT, mesh,
+                             frames_per_device: int = 4):
+    """Data-parallel video inference over a device mesh (serving scale-out).
+
+    The reference's only parallelism is single-process DataParallel at train
+    time (ref: trainval_net.py --mGPUs); its eval loop is strictly one GPU.
+    The TPU-native eval scales the same way training does (SURVEY §2c/§5):
+    one snippet chunk's FRAMES are sharded over the mesh's `data` axis, each
+    device runs the trunk + heads on its local frames, and pair formation
+    across shard boundaries exchanges a one-frame feature halo with
+    `lax.ppermute` (one hop over ICI — KBs of trunk features, not pixels).
+
+    The chunk carries ``mesh.size * frames_per_device`` frames and returns
+    that many pairs; the LAST pair wraps around the mesh (device n-1 pairs
+    its final frame with device 0's first) and is always trimmed by
+    `evaluate_snippet_video`'s `real` accounting — callers see the same
+    (F-1 usable pairs, one-frame chunk overlap) contract as the serial step.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    h, w = cfg.input.canvas_height, cfg.input.canvas_width
+    anchors = jnp.asarray(grid_anchors_for(cfg.model.anchors, h // 16, w // 16))
+    n = mesh.size
+    frames_per_chunk = n * frames_per_device
+    fused = cfg.model.roi.pooling_mode == "psroi"
+    # device i sends its first frame's features to device i-1
+    perm = [(i, (i - 1) % n) for i in range(n)]
+
+    def local_step(params, frames, im_hw, scale):
+        frames = normalize_device_images(frames, im_hw, cfg.input.pixel_means)
+        trunk = DnT.frame_trunk if fused else DnT.frame_features
+        feats = model.apply(params, frames, method=trunk)
+        first = jax.tree.map(lambda x: x[:1], feats)
+        halo = jax.tree.map(lambda x: jax.lax.ppermute(x, "data", perm), first)
+        ext = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0),
+                           feats, halo)
+        f_t, f_tau = feats, jax.tree.map(lambda x: x[1:], ext)
+        if not fused:
+            track_maps = model.apply(params, f_t, f_tau,
+                                     method=DnT.track_psmaps)
+            return _detect_and_track(cfg, anchors, f_t, track_maps, im_hw,
+                                     scale)
+        fused_maps = model.apply(params, f_t, f_tau, method=DnT.fused_psmaps)
+        return _detect_and_track_fused(cfg, anchors, f_t, fused_maps, im_hw,
+                                       scale)
+
+    sharded = jax.shard_map(local_step, mesh=mesh,
+                            in_specs=(P(), P("data"), P(), P()),
+                            out_specs=P("data"), check_vma=False)
+    repl = NamedSharding(mesh, P())
+    step = jax.jit(sharded, in_shardings=(repl, NamedSharding(mesh, P("data")),
+                                          repl, repl))
+    step.frames_per_chunk = frames_per_chunk
+    return step
+
+
 def evaluate_snippet_video(cfg: Config, video_step, params,
                            frames: np.ndarray, frames_per_chunk: int | None = None,
                            im_hw=None, scale: float = 1.0):

@@ -45,6 +45,9 @@ def parse_args():
                    help="devkit: size-adaptive IoU threshold (ImageNet "
                         "eval_vid rule, the paper-number protocol); "
                         "flat: fixed IoU 0.5")
+    p.add_argument("--parallel", action="store_true",
+                   help="shard each snippet chunk's frames over ALL devices "
+                        "(data mesh + one-frame halo exchange; τ=1 only)")
     return p.parse_args()
 
 
@@ -202,7 +205,20 @@ def main():
     cfg, model, state = load_model_state(args)
     do_link = args.link or args.tau > 1   # tau>1 implies tube linking
     if args.tau > 1:
+        if args.parallel:
+            raise SystemExit("--parallel supports τ=1 video mode only")
         pair_step = make_pair_step(cfg, model)
+    elif args.parallel:
+        import jax
+        from dtt.eval.inference import make_video_step_parallel
+        from dtt.parallel.mesh import data_mesh
+        mesh = data_mesh()
+        n = mesh.size
+        fpd = (max(1, (args.synthetic_frames + n) // n) if args.synthetic
+               else max(1, 32 // n))
+        video_step = make_video_step_parallel(cfg, model, mesh, fpd)
+        print(f"parallel eval: {n}-device mesh, "
+              f"{video_step.frames_per_chunk}-frame chunks")
     else:
         from dtt.eval.inference import make_video_step
         # synthetic snippets are short and known-length: size the chunk to

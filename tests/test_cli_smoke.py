@@ -15,13 +15,13 @@ import pytest
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(cmd):
+def _run(cmd, devices=1):
     # DTT_PLATFORM (not JAX_PLATFORMS): the machine's sitecustomize
     # force-registers the axon TPU platform over JAX_PLATFORMS=cpu; the
     # entry scripts honor DTT_PLATFORM via jax.config.update, which wins
     # (dtt/utils/platform.py) — keeps this test genuinely CPU/deterministic
     env = dict(os.environ,
-               XLA_FLAGS="--xla_force_host_platform_device_count=1",
+               XLA_FLAGS=f"--xla_force_host_platform_device_count={devices}",
                DTT_PLATFORM="cpu")
     proc = subprocess.run([sys.executable] + cmd, cwd=ROOT, env=env,
                           stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
@@ -46,3 +46,12 @@ def test_train_then_eval_link_single_pass(tmp_path):
     # single-pass contract: linked mAP, unlinked mAP, and uplift together
     assert {"mAP", "mAP_nolink", "link_uplift", "protocol"} <= result.keys()
     assert result["protocol"] == "devkit"
+
+    # same checkpoint through the data-parallel eval path (frames sharded
+    # over a 4-device mesh, eval.py --parallel): identical output contract
+    stdout = _run(["eval.py", "--synthetic", "--checkpoint", out,
+                   "--synthetic-snippets", "1", "--link", "--parallel"],
+                  devices=4)
+    line = [l for l in stdout.strip().splitlines() if l.startswith("{")][-1]
+    par = json.loads(line)
+    assert {"mAP", "mAP_nolink", "link_uplift", "protocol"} <= par.keys()
