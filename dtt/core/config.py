@@ -82,6 +82,12 @@ class RoIConfig(_Replaceable):
     # the corresponding dtt.ops.roi_ops op (see dtt.models.dnt.pool_vote).
     pooling_mode: str = "psroi"
     class_agnostic: bool = True    # R-FCN bbox head is class-agnostic in the lineage
+    # Batched pooling implementation for the fused EVAL heads (training and
+    # the per-frame ops keep psroi_pool's own dispatch): "gather" = SAT +
+    # flat corner gathers (psroi_pool_batched), "pallas_mm" = SAT bilinear
+    # MXU kernel, "direct" = SAT-free interval-indicator MXU kernel
+    # (psroi_pool_batched_direct). Measured table in BASELINE.md.
+    eval_pool_impl: str = "gather"
 
 
 @dataclass(frozen=True)

@@ -343,8 +343,22 @@ def detect_track_fused(cfg: ModelConfig, feats: FrameFeats,
                               im_height, im_width, im_scale, cfg.rpn, False)
 
     props = jax.vmap(proposals_one)(feats.rpn_cls, feats.rpn_bbox)
-    pooled = psroi_pool_batched(fused_maps, props.rois, spatial_scale,
-                                cfg.roi.ps_grid).mean(axis=(2, 3))
+    impl = cfg.roi.eval_pool_impl
+    if impl == "direct":
+        from dtt.ops.psroi import psroi_pool_batched_direct
+        # SAT-free MXU kernel; bf16 maps pool at the conv's own precision
+        pool = psroi_pool_batched_direct(
+            fused_maps.astype(jnp.dtype(cfg.dtype)), props.rois,
+            spatial_scale, cfg.roi.ps_grid).astype(jnp.float32)
+    elif impl == "pallas_mm":
+        from dtt.ops.psroi import psroi_pool_batched_pallas_mm
+        pool = psroi_pool_batched_pallas_mm(fused_maps, props.rois,
+                                            spatial_scale, cfg.roi.ps_grid)
+    else:
+        assert impl == "gather", f"unknown roi.eval_pool_impl {impl!r}"
+        pool = psroi_pool_batched(fused_maps, props.rois, spatial_scale,
+                                  cfg.roi.ps_grid)
+    pooled = pool.mean(axis=(2, 3))
     dc = cfg.num_classes
     db = 8 if cfg.roi.class_agnostic else 4 * cfg.num_classes
     cls_score = pooled[..., :dc]

@@ -379,6 +379,97 @@ def psroi_pool_batched_pallas_mm(features: jnp.ndarray, rois: jnp.ndarray,
     return out.astype(features.dtype)
 
 
+def _psroi_direct_kernel(r_ref,    # VMEM (1, 1, N, H)   row interval indicator
+                         c_ref,    # VMEM (1, 1, N, W)   col interval indicator
+                         map_ref,  # VMEM (1, 1, H, D*W) bin slab, channel-major
+                         out_ref,  # VMEM (1, 1, 1, N, D) bin SUMS (area outside)
+                         *, w: int, d: int):
+    """Interval-indicator bilinear form over the RAW map (no SAT).
+
+    bin_sum[n, d] = Σ_y Σ_x 1[hs<=y<he] M[y, x, d] 1[ws<=x<we] — two MXU
+    contractions per (frame, bin) program. Unlike the SAT kernels, operands
+    are O(1) map values, so the matmuls run at the input dtype's native MXU
+    rate (bf16 maps -> full speed) instead of f32 HIGHEST: the SAT's
+    O(H*W)-magnitude entries are what forced the 6-pass precision there.
+    """
+    dt = map_ref.dtype
+    slab = map_ref[0, 0]                               # (H, D*W), d*W + x
+    t1 = jnp.dot(r_ref[0, 0].astype(dt), slab,
+                 preferred_element_type=jnp.float32)   # (N, D*W) f32
+    cind = pltpu.repeat(c_ref[0, 0], d, axis=1)        # (N, D*W)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (w * d, d), 0) // w
+           == jax.lax.broadcasted_iota(jnp.int32, (w * d, d), 1))
+    # t1 entries are bin-row sums (<=H terms of O(1)); casting back to the
+    # map dtype costs less precision than the conv that produced the maps
+    out_ref[0, 0, 0] = jnp.dot((t1 * cind).astype(dt), sel.astype(dt),
+                               preferred_element_type=jnp.float32)
+
+
+def _interval_indicators(hs, he, ws, we, height: int, width: int):
+    """0/1 interval indicators: R (N, k, H), C (N, k, W) float32."""
+    yy = jnp.arange(height)
+    xx = jnp.arange(width)
+    r = ((yy >= hs[..., None]) & (yy < he[..., None]))
+    c = ((xx >= ws[..., None]) & (xx < we[..., None]))
+    return r.astype(jnp.float32), c.astype(jnp.float32)
+
+
+def psroi_pool_batched_direct(features: jnp.ndarray, rois: jnp.ndarray,
+                              spatial_scale: float, group_size: int
+                              ) -> jnp.ndarray:
+    """Frame-batched MXU pooling straight off the RAW maps (no SAT):
+    (B, H, W, k*k*D), (B, N, 4) -> (B, N, k, k, D).
+
+    vs psroi_pool_batched (SAT + flat gathers): skips the 2-D cumsum and
+    replaces the gather-row-bound corner reads with dense per-(frame, bin)
+    matmuls against 0/1 interval indicators (see _psroi_direct_kernel).
+    bf16 maps run the MXU at full rate — the precision loss is bounded by
+    the maps' own conv-output precision (pooled means are averages of O(1)
+    values; no O(H*W) SAT cancellation). Inference-only (no custom_vjp):
+    eval pools detection RoIs, which carry no gradient.
+    """
+    b, h, w, c = features.shape
+    k = group_size
+    d = c // (k * k)
+    n = rois.shape[1]
+    assert d * k * k == c, f"channels {c} not divisible by k^2={k * k}"
+    hs, he, ws, we = jax.vmap(
+        lambda r: _roi_bounds(r, spatial_scale, k, h, w))(rois)   # (B, N, k)
+    r, cind = jax.vmap(
+        lambda a, bb, c0, c1: _interval_indicators(a, bb, c0, c1, h, w)
+    )(hs, he, ws, we)                                  # (B, N, k, H/W)
+    r = r.transpose(0, 2, 1, 3)                        # (B, k, N, H)
+    cind = cind.transpose(0, 2, 1, 3)                  # (B, k, N, W)
+    # channel-major (d*W + x) slabs per bin: one XLA transpose of the map
+    slabs = (features.reshape(b, h, w, k * k, d)
+             .transpose(0, 3, 1, 4, 2)
+             .reshape(b, k * k, h, d * w))
+
+    sums = pl.pallas_call(
+        functools.partial(_psroi_direct_kernel, w=w, d=d),
+        grid=(b, k, k),
+        in_specs=[
+            pl.BlockSpec((1, 1, n, h), lambda bi, ph, pw: (bi, ph, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, w), lambda bi, ph, pw: (bi, pw, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h, d * w),
+                         lambda bi, ph, pw: (bi, ph * k + pw, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, n, d),
+                               lambda bi, ph, pw: (bi, ph, pw, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, k, k, n, d), jnp.float32),
+        interpret=_use_interpret(),
+    )(r, cind, slabs)
+
+    area = jax.vmap(_bin_areas)(hs, he, ws, we)[..., None]  # (B, N, k, k, 1)
+    sums = sums.transpose(0, 3, 1, 2, 4)               # (B, N, k, k, D)
+    out = jnp.where(area > 0, sums / jnp.maximum(area, 1.0), 0.0)
+    return out.astype(features.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernel
 # ---------------------------------------------------------------------------

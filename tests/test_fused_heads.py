@@ -92,3 +92,28 @@ def test_detect_track_fused_parity(setup):
                                np.asarray(det2.bbox_pred), rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(np.asarray(deltas), np.asarray(deltas2),
                                rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("impl", ["pallas_mm", "direct"])
+def test_detect_track_fused_pool_impls(setup, impl):
+    """roi.eval_pool_impl variants match the gather pool through the full
+    fused detection path (f32 model on CPU -> tight tolerance)."""
+    cfg, model, params, pairs = setup
+    h, w = cfg.input.canvas_height, cfg.input.canvas_width
+    anchors = jnp.asarray(grid_anchors_for(cfg.model.anchors, h // 16, w // 16))
+    t_t, t_tau = _frame_split(model, params, pairs, DnT.frame_trunk)
+    fused_maps = model.apply(params, t_t, t_tau, method=DnT.fused_psmaps)
+
+    base = detect_track_fused(cfg.model, t_t, fused_maps, anchors, h, w, 1.0)
+    mc = cfg.model.replace(roi=cfg.model.roi.replace(eval_pool_impl=impl))
+    alt = detect_track_fused(mc, t_t, fused_maps, anchors, h, w, 1.0)
+    np.testing.assert_array_equal(np.asarray(base[0].rois),
+                                  np.asarray(alt[0].rois))
+    np.testing.assert_allclose(np.asarray(base[1].cls_prob),
+                               np.asarray(alt[1].cls_prob),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(base[1].bbox_pred),
+                               np.asarray(alt[1].bbox_pred),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(base[2]), np.asarray(alt[2]),
+                               rtol=1e-4, atol=1e-3)

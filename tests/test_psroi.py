@@ -160,3 +160,45 @@ def test_batched_pallas_mm_matches_oracle(rng):
                                        1 / 16.0, k)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_batched_direct_matches_oracle(rng):
+    """The SAT-free interval-indicator MXU kernel equals the gather oracle
+    (f32 exactly; bf16 maps to the maps' own precision)."""
+    from dtt.ops.psroi import psroi_pool_batched_direct
+    b, h, w, k, d, n = 3, 12, 16, 3, 5, 6
+    feats = rng.randn(b, h, w, d * k * k).astype(np.float32)
+    rois = np.stack([
+        rng.uniform(0, 150, (b, n)), rng.uniform(0, 100, (b, n)),
+        rng.uniform(150, 250, (b, n)), rng.uniform(100, 190, (b, n)),
+    ], axis=2).astype(np.float32)
+    want = jax.vmap(lambda f, r: psroi_pool_xla(f, r, 1 / 16.0, k))(
+        jnp.asarray(feats), jnp.asarray(rois))
+    got = psroi_pool_batched_direct(jnp.asarray(feats), jnp.asarray(rois),
+                                    1 / 16.0, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # bf16 maps: tolerance set by bf16 itself, not the algorithm
+    got16 = psroi_pool_batched_direct(jnp.asarray(feats, jnp.bfloat16),
+                                      jnp.asarray(rois), 1 / 16.0, k)
+    np.testing.assert_allclose(np.asarray(got16, np.float32),
+                               np.asarray(want), rtol=0.04, atol=0.05)
+
+
+def test_batched_direct_empty_and_edge_bins(rng):
+    """Degenerate RoIs (empty bins, off-map clips) match the oracle's zeros."""
+    from dtt.ops.psroi import psroi_pool_batched_direct
+    b, h, w, k, d = 2, 10, 14, 3, 4
+    feats = rng.randn(b, h, w, d * k * k).astype(np.float32)
+    rois = np.asarray([[[0.0, 0.0, 1.0, 1.0],        # sub-bin-size box
+                        [-50.0, -50.0, -10.0, -10.0],  # fully off-map
+                        [100.0, 80.0, 400.0, 400.0]],  # clipped at edges
+                       [[5.0, 5.0, 200.0, 140.0],
+                        [0.0, 0.0, 223.0, 159.0],      # full map
+                        [30.0, 30.0, 31.0, 31.0]]], np.float32)
+    want = jax.vmap(lambda f, r: psroi_pool_xla(f, r, 1 / 16.0, k))(
+        jnp.asarray(feats), jnp.asarray(rois))
+    got = psroi_pool_batched_direct(jnp.asarray(feats), jnp.asarray(rois),
+                                    1 / 16.0, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

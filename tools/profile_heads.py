@@ -197,3 +197,17 @@ for name in ("cls", "track", "fused43"):
       lambda c, m, r, name=name: jnp.sum(
           psroi_pool_batched_pallas_mm(m[name] + c * 1e-20, r, scale, k)
           ) * 1e-9 + c * 1e-9)
+
+# SAT-free interval-indicator MXU kernel (psroi_pool_batched_direct):
+# raw maps, bf16-capable — no cumsum, no f32-HIGHEST matmuls
+from dtt.ops.psroi import psroi_pool_batched_direct
+for name in ("cls", "fused43"):
+    t(f"batched_direct [{name}, f32]",
+      lambda c, m, r, name=name: jnp.sum(
+          psroi_pool_batched_direct(m[name] + c * 1e-20, r, scale, k)
+          ) * 1e-9 + c * 1e-9)
+    t(f"batched_direct [{name}, bf16]",
+      lambda c, m, r, name=name: jnp.sum(
+          psroi_pool_batched_direct(
+              m[name].astype(jnp.bfloat16) + c * jnp.bfloat16(1e-8),
+              r, scale, k).astype(jnp.float32)) * 1e-9 + c * 1e-9)
