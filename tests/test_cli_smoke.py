@@ -55,3 +55,10 @@ def test_train_then_eval_link_single_pass(tmp_path):
     line = [l for l in stdout.strip().splitlines() if l.startswith("{")][-1]
     par = json.loads(line)
     assert {"mAP", "mAP_nolink", "link_uplift", "protocol"} <= par.keys()
+
+    # demo.py renders annotated frames from the same checkpoint
+    demo_out = str(tmp_path / "demo")
+    _run(["demo.py", "--synthetic", "--checkpoint", out, "--out", demo_out,
+          "--link", "--score-thresh", "0.0"])
+    pngs = [f for f in os.listdir(demo_out) if f.endswith((".png", ".jpg"))]
+    assert pngs, "demo wrote no annotated frames"
