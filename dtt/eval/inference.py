@@ -215,6 +215,25 @@ def make_video_step(cfg: Config, model: DnT, frames_per_chunk: int = 33):
     return step
 
 
+def make_pair_step_parallel(cfg: Config, model: DnT, mesh,
+                            pairs_per_device: int = 2):
+    """Data-parallel τ-strided pair step: the pair batch shards over the
+    mesh's `data` axis (pairs are independent — no halo, unlike the video
+    step). Same signature/outputs as make_pair_step with
+    batch = mesh.size * pairs_per_device; plug into evaluate_snippet via
+    its `batch` argument.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    serial = make_pair_step(cfg, model)
+    repl = NamedSharding(mesh, P())
+    step = jax.jit(lambda params, pairs, im_hw, scale:
+                   serial(params, pairs, im_hw, scale),
+                   in_shardings=(repl, NamedSharding(mesh, P("data")),
+                                 repl, repl))
+    step.batch = mesh.size * pairs_per_device
+    return step
+
+
 def make_video_step_parallel(cfg: Config, model: DnT, mesh,
                              frames_per_device: int = 4):
     """Data-parallel video inference over a device mesh (serving scale-out).

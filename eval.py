@@ -46,8 +46,9 @@ def parse_args():
                         "eval_vid rule, the paper-number protocol); "
                         "flat: fixed IoU 0.5")
     p.add_argument("--parallel", action="store_true",
-                   help="shard each snippet chunk's frames over ALL devices "
-                        "(data mesh + one-frame halo exchange; τ=1 only)")
+                   help="data-parallel inference over ALL devices: τ=1 "
+                        "shards each chunk's frames (one-frame halo "
+                        "exchange); τ>1 shards the pair batch")
     return p.parse_args()
 
 
@@ -204,10 +205,18 @@ def main():
 
     cfg, model, state = load_model_state(args)
     do_link = args.link or args.tau > 1   # tau>1 implies tube linking
+    pair_batch = 4
     if args.tau > 1:
         if args.parallel:
-            raise SystemExit("--parallel supports τ=1 video mode only")
-        pair_step = make_pair_step(cfg, model)
+            from dtt.eval.inference import make_pair_step_parallel
+            from dtt.parallel.mesh import data_mesh
+            mesh = data_mesh()
+            pair_step = make_pair_step_parallel(cfg, model, mesh)
+            pair_batch = pair_step.batch
+            print(f"parallel strided eval: {mesh.size}-device mesh, "
+                  f"{pair_batch}-pair batches")
+        else:
+            pair_step = make_pair_step(cfg, model)
     elif args.parallel:
         import jax
         from dtt.eval.inference import make_video_step_parallel
@@ -246,7 +255,7 @@ def main():
         if args.tau > 1:
             boxes, scores, valid, tracked, eval_ts = evaluate_snippet(
                 cfg, pair_step, state.params, frames, tau=args.tau,
-                im_hw=im_hw, scale=scale)
+                batch=pair_batch, im_hw=im_hw, scale=scale)
             process_strided_snippet(cfg, num_classes, frame_uid, t_len,
                                     eval_ts, boxes, scores, valid, tracked,
                                     all_dets, raw_dets)

@@ -96,3 +96,26 @@ def test_parallel_uint8_normalization(setup):
     par = pstep(params, jnp.asarray(frames), im_hw, jnp.float32(1.0))
     np.testing.assert_allclose(np.asarray(par.scores)[:-1],
                                np.asarray(ser.scores), rtol=1e-4, atol=5e-3)
+
+
+def test_parallel_pair_step_matches_serial(setup):
+    """τ-strided path: pair batch sharded over the mesh == serial batches
+    (pairs are independent; no halo involved)."""
+    from dtt.eval.inference import evaluate_snippet, make_pair_step, \
+        make_pair_step_parallel
+    cfg, model, params = setup
+    mesh = data_mesh(jax.devices()[:4])
+    pstep = make_pair_step_parallel(cfg, model, mesh, pairs_per_device=1)
+    assert pstep.batch == 4
+
+    imgs, *_ = synthetic_snippet(np.random.RandomState(5), 9, 64, 96,
+                                 cfg.model.num_classes, 4)
+    frames = imgs - 120.0
+    sstep = make_pair_step(cfg, model)
+    ser = evaluate_snippet(cfg, sstep, params, frames, tau=2, batch=4)
+    par = evaluate_snippet(cfg, pstep, params, frames, tau=2,
+                           batch=pstep.batch)
+    assert ser[-1] == par[-1]  # same evaluated keyframes
+    for s, p, name in zip(ser[:4], par[:4],
+                          ("boxes", "scores", "valid", "tracked")):
+        np.testing.assert_allclose(p, s, rtol=1e-4, atol=5e-3, err_msg=name)
