@@ -46,9 +46,10 @@ class PairLoader:
         # both groups present — otherwise the knob is ignored.
         self.det_fraction = None
         if det_fraction is not None and det_fraction >= 0.0:
-            det = [i for i, e in enumerate(self.roidb)
-                   if "det" in str(e.get("source", "")).lower()]
-            vid = [i for i in range(len(self.roidb)) if i not in set(det)]
+            det_set = {i for i, e in enumerate(self.roidb)
+                       if "det" in str(e.get("source", "")).lower()}
+            det = sorted(det_set)
+            vid = [i for i in range(len(self.roidb)) if i not in det_set]
             if det and vid:
                 self.det_fraction = float(det_fraction)
                 self._groups = (np.asarray(vid), np.asarray(det))

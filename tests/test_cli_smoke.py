@@ -15,6 +15,14 @@ import pytest
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _has_cv2():
+    try:
+        import cv2  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
 def _run(cmd, devices=1):
     # DTT_PLATFORM (not JAX_PLATFORMS): the machine's sitecustomize
     # force-registers the axon TPU platform over JAX_PLATFORMS=cpu; the
@@ -56,7 +64,10 @@ def test_train_then_eval_link_single_pass(tmp_path):
     par = json.loads(line)
     assert {"mAP", "mAP_nolink", "link_uplift", "protocol"} <= par.keys()
 
-    # demo.py renders annotated frames from the same checkpoint
+    # demo.py renders annotated frames from the same checkpoint (skip the
+    # step, not the test, when cv2 is absent — demo.py imports it to draw)
+    if not _has_cv2():
+        pytest.skip("cv2 not installed; train/eval stages already passed")
     demo_out = str(tmp_path / "demo")
     _run(["demo.py", "--synthetic", "--checkpoint", out, "--out", demo_out,
           "--link", "--score-thresh", "0.0"])

@@ -48,7 +48,11 @@ def parse_args():
                         "(LSUV-style); substitute for pretrained running "
                         "stats when training from scratch")
     p.add_argument("--num-workers", type=int, default=8)
-    return p.parse_args()
+    args = p.parse_args()
+    if args.device_render and not args.synthetic:
+        p.error("--device-render only applies to --synthetic training "
+                "(real datasets upload decoded frames)")
+    return args
 
 
 def main():
