@@ -94,6 +94,51 @@ def test_detect_track_fused_parity(setup):
                                rtol=1e-5, atol=1e-4)
 
 
+def test_fused_path_class_specific_boxes():
+    """class_agnostic=False: per-class bbox regression flows through the
+    fused heads AND the per-class decode branch (boxes reshaped (N, C, 4),
+    bg column dropped) — fused decode == separate-heads decode."""
+    from dtt.models.dnt import decode_detections_batched
+
+    cfg = tiny_config()
+    cfg = cfg.replace(
+        input=cfg.input.replace(canvas_height=64, canvas_width=96),
+        model=cfg.model.replace(
+            roi=cfg.model.roi.replace(class_agnostic=False)))
+    mc = cfg.model
+    model = make_model(mc)
+    rng = np.random.RandomState(5)
+    pairs = jnp.asarray(rng.randn(2, 2, 64, 96, 3).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros_like(pairs))
+
+    h, w = cfg.input.canvas_height, cfg.input.canvas_width
+    anchors = jnp.asarray(grid_anchors_for(mc.anchors, h // 16, w // 16))
+
+    f_t, f_tau = _frame_split(model, params, pairs, DnT.frame_features)
+    assert f_t.bbox_maps.shape[-1] == mc.roi.ps_grid ** 2 * 4 * mc.num_classes
+    props, det = detect_frames_batched(mc, f_t, anchors, h, w, 1.0)
+    deltas = track_rois_batched(
+        mc, model.apply(params, f_t, f_tau, method=DnT.track_psmaps),
+        det.rois)
+
+    t_t, t_tau = _frame_split(model, params, pairs, DnT.frame_trunk)
+    fused_maps = model.apply(params, t_t, t_tau, method=DnT.fused_psmaps)
+    props2, det2, deltas2 = detect_track_fused(mc, t_t, fused_maps, anchors,
+                                               h, w, 1.0)
+    np.testing.assert_allclose(np.asarray(det.bbox_pred),
+                               np.asarray(det2.bbox_pred), rtol=1e-5, atol=1e-4)
+
+    b1 = decode_detections_batched(mc, det, h, w, 0.0, 0.5, 8,
+                                   track_deltas=deltas)
+    b2 = decode_detections_batched(mc, det2, h, w, 0.0, 0.5, 8,
+                                   track_deltas=deltas2)
+    n_frames, c_fg = pairs.shape[0], mc.num_classes - 1
+    assert b1[0].shape == (n_frames, c_fg, 8, 4)
+    for a, b in zip(b1, b2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("impl", ["pallas_mm", "direct"])
 def test_detect_track_fused_pool_impls(setup, impl):
     """roi.eval_pool_impl variants match the gather pool through the full
