@@ -126,7 +126,7 @@ if args.sweep:
     from dtt.eval.inference import make_video_step
     from dtt.utils.timing import sync_latency
     import time
-    for f_n in (17, 33, 49, 65):
+    for f_n in (17, 33, 49, 65, 97):
         fr = jnp.asarray(rng.randn(f_n, h, w, 3).astype(np.float32))
         step = make_video_step(cfg, model, f_n)
 
@@ -147,8 +147,20 @@ if args.sweep:
             times.append(time.perf_counter() - t0)
         times.sort()
         dt = max(times[len(times) // 4] - lat, 1e-9)
+        # chained form of the SAME step: device-only time with the per-call
+        # dispatch/fetch overhead structurally removed — the difference vs
+        # the forced-call time above IS that overhead
+        def chained_step(c, p, fr):
+            out = step(p, fr + c * 1e-12, im_hw, jnp.float32(1.0))
+            # same full-output reduction as `infer` (tracked/boxes must stay live)
+            return (jnp.sum(out.scores) + jnp.sum(out.boxes) * 1e-6
+                    + jnp.sum(out.tracked) * 1e-6 + c * 1e-9)
+
+        dev = chained_time(chained_step, iters=8, args=(params, fr))
         print(f"chunk {f_n:3d} frames [{args.impl:9s}]: "
-              f"{dt * 1e3:7.1f} ms -> {(f_n - 1) / dt:6.1f} pairs/s", flush=True)
+              f"{dt * 1e3:7.1f} ms forced ({(f_n - 1) / dt:6.1f} pairs/s) | "
+              f"{dev * 1e3:7.1f} ms chained ({(f_n - 1) / dev:6.1f} pairs/s) | "
+              f"dispatch {max(dt - dev, 0) * 1e3:5.1f} ms", flush=True)
 else:
     print(f"video-step stage profile: {F} frames 608x1088, "
           f"impl={args.impl}", flush=True)
