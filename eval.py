@@ -105,21 +105,26 @@ def snippet_gt_arrays(annots, scale: float):
     tracks) are never truncated, which would silently inflate mAP.
     Returns (gt_boxes (T, G, 4), gt_labels (G,), gt_valid (T, G)).
     """
-    tid_slot = {}
-    for ann in annots:
-        for tid in ann["trackids"]:
-            tid_slot.setdefault(int(tid), len(tid_slot))
     t_len = len(annots)
-    g = max(len(tid_slot), 1)
+    tids = [np.asarray(ann["trackids"], np.int64).reshape(-1)
+            for ann in annots]
+    flat_tids = (np.concatenate(tids) if tids
+                 else np.zeros(0, np.int64))
+    uniq = np.unique(flat_tids)          # slot order is arbitrary
+    g = max(uniq.size, 1)
     gt_boxes = np.zeros((t_len, g, 4), np.float32)
     gt_labels = np.zeros((g,), np.int32)
     gt_valid = np.zeros((t_len, g), bool)
-    for t, ann in enumerate(annots):
-        for b, lab, tid in zip(ann["boxes"], ann["labels"], ann["trackids"]):
-            slot = tid_slot[int(tid)]
-            gt_boxes[t, slot] = np.asarray(b, np.float32) * scale
-            gt_labels[slot] = lab
-            gt_valid[t, slot] = True
+    if flat_tids.size:
+        t_idx = np.repeat(np.arange(t_len), [t.size for t in tids])
+        slots = np.searchsorted(uniq, flat_tids)
+        gt_boxes[t_idx, slots] = np.concatenate(
+            [np.asarray(ann["boxes"], np.float32).reshape(-1, 4)
+             for ann in annots]) * scale
+        gt_labels[slots] = np.concatenate(
+            [np.asarray(ann["labels"], np.int32).reshape(-1)
+             for ann in annots])
+        gt_valid[t_idx, slots] = True
     return gt_boxes, gt_labels, gt_valid
 
 
@@ -170,31 +175,35 @@ def process_strided_snippet(cfg, num_classes, frame_uid, t_len, eval_ts,
     every frame, and FALL BACK to raw keyframe detections for any detection
     no tube claimed — strided testing must never silently drop detections
     (a round-2 gap: only tube-claimed detections were emitted). The raw
-    keyframe detections also feed `raw_dets` (mAP_nolink)."""
+    keyframe detections also feed `raw_dets` (mAP_nolink).
+
+    Accumulation is array-valued throughout (dest[c] collects
+    (fids, scores, boxes) triples — dtt.eval.vid_eval.det_arrays format);
+    the reference's per-detection all_boxes appends (ref: test_net.py) cost
+    ~600k Python iterations per 1000-frame snippet at flagship settings."""
     from dtt.eval.inference import interpolate_tubes, link_snippet
     valid = cap_frame_dets(scores, valid, cfg.eval.max_dets_per_frame)
     _, tubes = link_snippet(cfg, boxes, scores, tracked, valid)
-    per_frame = interpolate_tubes(tubes, boxes, eval_ts, t_len)
-    for t, dets in per_frame.items():
-        fid = frame_uid + t
-        for ci, s, b in dets:
-            if s > cfg.eval.score_thresh:
-                all_dets[ci + 1].append((fid, float(s),
-                                         np.asarray(b).tolist()))
+    ts, cls0, sc, bx = interpolate_tubes(tubes, boxes, eval_ts, t_len)
+    keep = sc > cfg.eval.score_thresh
+    for ci in np.unique(cls0[keep]):
+        sel = keep & (cls0 == ci)
+        all_dets[int(ci) + 1].append((frame_uid + ts[sel], sc[sel], bx[sel]))
     in_tube = np.asarray(tubes.det_in_tube)                  # (C-1, T', N)
+    mask = valid & (scores > cfg.eval.score_thresh)
+    eval_ts = np.asarray(eval_ts)
     for c in range(1, num_classes):
-        ci = c - 1
-        for ti, t in enumerate(eval_ts):
-            fid = frame_uid + t
-            for m in range(boxes.shape[2]):
-                if (valid[ci, ti, m]
-                        and scores[ci, ti, m] > cfg.eval.score_thresh):
-                    det = (fid, float(scores[ci, ti, m]),
-                           boxes[ci, ti, m].tolist())
-                    if raw_dets is not None:
-                        raw_dets[c].append(det)
-                    if not in_tube[ci, ti, m]:
-                        all_dets[c].append(det)
+        ti, m = np.nonzero(mask[c - 1])
+        if ti.size == 0:
+            continue
+        det = (frame_uid + eval_ts[ti], scores[c - 1][ti, m],
+               boxes[c - 1][ti, m])
+        if raw_dets is not None:
+            raw_dets[c].append(det)
+        orphan = ~in_tube[c - 1][ti, m]
+        if orphan.any():
+            all_dets[c].append((det[0][orphan], det[1][orphan],
+                                det[2][orphan]))
 
 
 def main():
@@ -271,24 +280,27 @@ def main():
                 scores, _ = link_snippet(cfg, boxes, scores, tracked, valid)
 
             def collect(dest, sc):
+                # array-valued accumulation (det_arrays triples): the
+                # per-detection tuple loop was ~600k Python iterations per
+                # 1000-frame snippet at flagship settings
+                mask = valid & (sc > cfg.eval.score_thresh)  # (C-1, T, M)
                 for c in range(1, num_classes):
-                    ci = c - 1
-                    for t in range(t_len):
-                        fid = frame_uid + t
-                        for m in range(boxes.shape[2]):
-                            if valid[ci, t, m] and sc[ci, t, m] > cfg.eval.score_thresh:
-                                dest[c].append((fid, float(sc[ci, t, m]),
-                                                boxes[ci, t, m].tolist()))
+                    t_idx, m_idx = np.nonzero(mask[c - 1])
+                    if t_idx.size:
+                        dest[c].append((frame_uid + t_idx,
+                                        sc[c - 1][t_idx, m_idx],
+                                        boxes[c - 1][t_idx, m_idx]))
 
             collect(all_dets, scores)
             if raw_dets is not None:
                 collect(raw_dets, raw_scores)
-        for c in range(1, num_classes):
-            for t in range(t_len):
-                fid = frame_uid + t
-                gt_mask = gt_valid[t] & (gt_labels == c)
-                if gt_mask.any():
-                    all_gts[c][fid] = gt_boxes[t][gt_mask]
+        for c in np.unique(gt_labels):
+            if not 1 <= c < num_classes:   # 0 = padding slots / background
+                continue
+            slot_mask = gt_labels == c              # (G,)
+            present = gt_valid & slot_mask[None, :]  # (T, G)
+            for t in np.nonzero(present.any(axis=1))[0]:
+                all_gts[int(c)][frame_uid + int(t)] = gt_boxes[t][present[t]]
         frame_uid += t_len
         print(f"snippet {name}: {t_len} frames done (tau={args.tau})")
 

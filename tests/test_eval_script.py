@@ -98,12 +98,14 @@ def test_strided_fallback_emits_unclaimed_detections():
         cfg, num_classes, 0, t_len, eval_ts, boxes, scores, valid, tracked,
         all_dets, raw_dets)
 
+    from dtt.eval.vid_eval import det_tuples
     # raw keyframe detections collected for mAP_nolink: both objects
-    assert len(raw_dets[1]) == 2 * t_prime
+    assert len(det_tuples(raw_dets[1])) == 2 * t_prime
     # object B's detections appear in the final set despite having no tube
-    b_dets = [d for d in all_dets[1] if d[2][0] > 100]
-    assert len(b_dets) == t_prime, all_dets[1]
+    final = det_tuples(all_dets[1])
+    b_dets = [d for d in final if d[2][0] > 100]
+    assert len(b_dets) == t_prime, final
     assert {d[0] for d in b_dets} == set(eval_ts)
     # object A still comes from tube interpolation: every frame covered
-    a_frames = {d[0] for d in all_dets[1] if d[2][0] < 100}
+    a_frames = {d[0] for d in final if d[2][0] < 100}
     assert a_frames == set(range(t_len))

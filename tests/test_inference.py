@@ -86,13 +86,14 @@ def test_interpolate_tubes_fills_skipped_frames():
     boxes[0, 0, 0] = [0, 0, 10, 10]
     boxes[0, 1, 0] = [10, 0, 20, 10]
     from dtt.eval.inference import interpolate_tubes
-    per_frame = interpolate_tubes(tubes, boxes, eval_ts=[0, 2], t_total=3)
-    assert len(per_frame[0]) == 1 and len(per_frame[1]) == 1 and len(per_frame[2]) == 1
-    c, s, b = per_frame[1][0]
-    assert c == 0
-    np.testing.assert_allclose(b, [5, 0, 15, 10])   # midpoint box
-    np.testing.assert_allclose(s, 0.7, rtol=1e-6)   # midpoint score
-    np.testing.assert_allclose(per_frame[2][0][2], [10, 0, 20, 10])
+    ts, cls0, sc, bx = interpolate_tubes(tubes, boxes, eval_ts=[0, 2],
+                                         t_total=3)
+    assert sorted(ts.tolist()) == [0, 1, 2]   # every frame covered once
+    assert (cls0 == 0).all()
+    mid = ts == 1
+    np.testing.assert_allclose(bx[mid][0], [5, 0, 15, 10])  # midpoint box
+    np.testing.assert_allclose(sc[mid][0], 0.7, rtol=1e-6)  # midpoint score
+    np.testing.assert_allclose(bx[ts == 2][0], [10, 0, 20, 10])
 
 
 def test_video_step_matches_pair_step(setup):

@@ -105,6 +105,84 @@ def test_devkit_relaxes_small_boxes():
     assert ap_flat == 0.0
 
 
+def _eval_class_sequential(detections, gts, iou_thresh=0.5,
+                           protocol="devkit"):
+    """The pre-round-4 per-detection greedy loop, kept as the oracle for the
+    vectorized eval_class (identical devkit semantics required)."""
+    from dtt.eval.vid_eval import _iou_matrix, average_precision, det_tuples
+    n_gt = sum(len(v) for v in gts.values())
+    if n_gt == 0:
+        return np.nan, None, None
+    dets = det_tuples(detections)
+    if not dets:
+        return 0.0, np.zeros(0), np.zeros(0)
+    dets = sorted(dets, key=lambda d: -d[1])
+    matched = {fid: np.zeros(len(b), bool) for fid, b in gts.items()}
+    thr = {fid: gt_iou_thresholds(b, iou_thresh, protocol)
+           for fid, b in gts.items()}
+    tp, fp = np.zeros(len(dets)), np.zeros(len(dets))
+    for i, (fid, score, box) in enumerate(dets):
+        gt = gts.get(fid)
+        if gt is None or len(gt) == 0:
+            fp[i] = 1
+            continue
+        ious = _iou_matrix(np.asarray(box, np.float64)[None, :], gt)[0]
+        j = int(np.argmax(ious))
+        if ious[j] >= thr[fid][j] and not matched[fid][j]:
+            matched[fid][j] = True
+            tp[i] = 1
+        else:
+            fp[i] = 1
+    ctp, cfp = np.cumsum(tp), np.cumsum(fp)
+    rec = ctp / n_gt
+    prec = ctp / np.maximum(ctp + cfp, 1e-9)
+    return average_precision(rec, prec), rec, prec
+
+
+def test_vectorized_matcher_equals_sequential_oracle():
+    """Random crowded scenes: the per-frame vectorized matcher must
+    reproduce the sequential greedy loop bit-for-bit (AP and PR curves),
+    in both protocols, including tied scores and gt-free frames."""
+    rng = np.random.RandomState(7)
+    for trial in range(8):
+        n_frames, n_dets = 6, 60
+        gts = {}
+        for f in range(n_frames - 1):     # last frame left gt-free
+            g = rng.randint(1, 4)
+            xy = rng.randint(0, 60, (g, 2))
+            wh = rng.randint(3, 40, (g, 2))
+            gts[f] = np.concatenate([xy, xy + wh], 1).astype(float)
+        fids = rng.randint(0, n_frames, n_dets)
+        scores = np.round(rng.rand(n_dets), 2)    # force score ties
+        xy = rng.randint(0, 60, (n_dets, 2))
+        wh = rng.randint(3, 40, (n_dets, 2))
+        boxes = np.concatenate([xy, xy + wh], 1).astype(float)
+        dets = (fids, scores, boxes)
+        for protocol in ("devkit", "flat"):
+            ap_v, rec_v, prec_v = eval_class(dets, gts, protocol=protocol)
+            ap_s, rec_s, prec_s = _eval_class_sequential(dets, gts,
+                                                         protocol=protocol)
+            assert ap_v == ap_s, (trial, protocol)
+            np.testing.assert_array_equal(rec_v, rec_s)
+            np.testing.assert_array_equal(prec_v, prec_s)
+
+
+def test_det_arrays_formats_agree():
+    """Legacy tuple lists, array triples, and lists of per-snippet triples
+    canonicalize to the same detections in the same order."""
+    from dtt.eval.vid_eval import det_arrays
+    tuples = [(0, 0.9, [0, 0, 10, 10]), (1, 0.8, [5, 5, 25, 25]),
+              (0, 0.7, [2, 2, 12, 12])]
+    triple = (np.array([0, 1, 0]), np.array([0.9, 0.8, 0.7]),
+              np.array([[0, 0, 10, 10], [5, 5, 25, 25], [2, 2, 12, 12]]))
+    chunks = [(triple[0][:2], triple[1][:2], triple[2][:2]),
+              (triple[0][2:], triple[1][2:], triple[2][2:])]
+    ref = det_arrays(tuples)
+    for other in (det_arrays(triple), det_arrays(chunks)):
+        for a, b in zip(ref, other):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_devkit_threshold_is_per_matched_gt():
     """The threshold comes from the argmax-overlap gt, not a global min."""
     # one tiny gt (relaxed thr) and one large gt (0.5 thr) in the same frame;
