@@ -170,12 +170,14 @@ def pair_loss(cfg: Config, model: DnT, params, anchors: jnp.ndarray,
                          num_fg=num_fg, fg_ce=fg_ce_total)
 
 
-def batch_loss(cfg: Config, model: DnT, params, anchors, batch, key
-               ) -> tuple[jnp.ndarray, LossBreakdown]:
-    """Mean pair_loss over the per-device batch dict.
+def batch_loss_vmapped(cfg: Config, model: DnT, params, anchors, batch, key
+                       ) -> tuple[jnp.ndarray, LossBreakdown]:
+    """Mean pair_loss vmapped over the batch — the pre-round-4 batch_loss.
 
-    batch keys: images (B,2,H,W,3), gt_boxes (B,2,G,4), gt_labels (B,G),
-    gt_valid (B,2,G), im_scale (B,).
+    Kept as the parity oracle for `batch_loss`: vmapping pair_loss turns the
+    per-frame PSRoI flat gather into a multi-axis batched gather, the known
+    serial-slow TPU path (dtt/ops/psroi.py batch-folding note), which is why
+    training now uses the batched formulation below.
     """
     b = batch["images"].shape[0]
     keys = jax.random.split(key, b)
@@ -189,3 +191,117 @@ def batch_loss(cfg: Config, model: DnT, params, anchors, batch, key
                        batch["im_size"], keys)
     mean_lb = jax.tree.map(jnp.mean, lb)
     return mean_lb.total, mean_lb
+
+
+def batch_loss(cfg: Config, model: DnT, params, anchors, batch, key
+               ) -> tuple[jnp.ndarray, LossBreakdown]:
+    """Mean D&T loss over the per-device batch dict.
+
+    batch keys: images (B,2,H,W,3), gt_boxes (B,2,G,4), gt_labels (B,G),
+    gt_valid (B,2,G), im_scale (B,), im_size (B,2).
+
+    Numerically equivalent to vmapping pair_loss over the batch (same RNG
+    key flow; loss-parity-tested in tests/test_train.py), but structured the
+    way the eval path is: ONE backbone/head forward over all 2B frames and
+    batch-folded PSRoI pooling (psroi_pool_batched) over (B, N) RoIs —
+    lifting the pools out of the vmap keeps their gather single-axis flat
+    (round-3 VERDICT task 4; the vmapped form is the known serial-slow
+    multi-axis gather on TPU). Target assignment and per-RoI losses stay
+    vmapped — they are tiny element-wise/top-k work.
+    """
+    from dtt.models.dnt import pool_vote_batched
+    mcfg = cfg.model
+    b = batch["images"].shape[0]
+    # identical key flow to batch_loss_vmapped -> pair_loss
+    keys_b = jax.random.split(key, b)
+    keys4 = jax.vmap(lambda k: jax.random.split(k, 4))(keys_b)   # (B, 4, 2)
+
+    images = jax.vmap(
+        lambda im, sz: dnt_lib.normalize_device_images(
+            im, sz, cfg.input.pixel_means))(batch["images"],
+                                            batch["im_size"])
+    flat = images.reshape(-1, *images.shape[2:])                 # (2B, ...)
+    feats = model.apply(params, flat, method=DnT.frame_features)
+    f_t = jax.tree.map(lambda x: x[0::2], feats)
+    f_tau = jax.tree.map(lambda x: x[1::2], feats)
+    track_maps = model.apply(params, f_t, f_tau, method=DnT.track_psmaps)
+    frames = [f_t, f_tau]
+
+    h_img = batch["im_size"][:, 0]
+    w_img = batch["im_size"][:, 1]
+    im_scale = batch["im_scale"]
+    gt_boxes, gt_labels = batch["gt_boxes"], batch["gt_labels"]
+    gt_valid = batch["gt_valid"]
+    spatial_scale = 1.0 / mcfg.anchors.feat_stride
+
+    rpn_cls_total = 0.0
+    rpn_box_total = 0.0
+    rfcn_cls_total = 0.0
+    rfcn_box_total = 0.0
+    track_loss = jnp.float32(0.0)
+    num_fg = jnp.float32(0.0)
+    fg_ce_total = 0.0
+
+    for f in range(2):
+        feats_f: FrameFeats = frames[f]
+        at = jax.vmap(
+            lambda gb, gv, hh, ww, k: tgt_lib.anchor_target(
+                anchors, gb, gv, hh, ww, k, mcfg.rpn))(
+            gt_boxes[:, f], gt_valid[:, f], h_img, w_img, keys4[:, 2 * f])
+        l_cls, l_box = jax.vmap(
+            lambda rc, rb, a: rpn_loss(
+                rc, rb, a.labels, a.bbox_targets, a.bbox_weights, sigma=3.0,
+                inside_weight=mcfg.rpn.bbox_inside_weight))(
+            feats_f.rpn_cls, feats_f.rpn_bbox, at)
+        rpn_cls_total += jnp.mean(l_cls)
+        rpn_box_total += jnp.mean(l_box)
+
+        props = jax.vmap(
+            lambda rc, rb, hh, ww, sc: proposal_layer(
+                rc, rb, anchors, hh, ww, sc, mcfg.rpn, train=True))(
+            feats_f.rpn_cls, feats_f.rpn_bbox, h_img, w_img, im_scale)
+        other = 1 - f
+        track_cfg = mcfg.track if f == 0 else None
+        if cfg.train.ohem:
+            tgts = jax.vmap(
+                lambda r, v, gb, gl, gv, gbo, gvo: tgt_lib.label_all_rois(
+                    r, v, gb, gl, gv, gbo, gvo, mcfg.roi, track_cfg))(
+                props.rois, props.valid, gt_boxes[:, f], gt_labels,
+                gt_valid[:, f], gt_boxes[:, other], gt_valid[:, other])
+        else:
+            tgts = jax.vmap(
+                lambda r, v, gb, gl, gv, gbo, gvo, k:
+                tgt_lib.proposal_target(
+                    r, v, gb, gl, gv, gbo, gvo, k, mcfg.roi, track_cfg))(
+                props.rois, props.valid, gt_boxes[:, f], gt_labels,
+                gt_valid[:, f], gt_boxes[:, other], gt_valid[:, other],
+                keys4[:, 2 * f + 1])
+
+        # batch-folded pools — OUTSIDE the vmap (the whole point)
+        cls_score = pool_vote_batched(mcfg, feats_f.cls_maps, tgts.rois,
+                                      spatial_scale)
+        bbox_pred = pool_vote_batched(mcfg, feats_f.bbox_maps, tgts.rois,
+                                      spatial_scale)
+        l_rcls, l_rbox, l_fg_ce = jax.vmap(
+            lambda cs, bp, t: _rfcn_losses(cfg, cs, bp, t))(
+            cls_score, bbox_pred, tgts)
+        rfcn_cls_total += jnp.mean(l_rcls)
+        rfcn_box_total += jnp.mean(l_rbox)
+        fg_ce_total += 0.5 * jnp.mean(l_fg_ce)
+        num_fg += jnp.mean(jnp.sum(tgts.bbox_weights, axis=-1))
+
+        if f == 0:  # tracking head regresses frame-t RoIs to frame-τ gt
+            trk_pred = pool_vote_batched(mcfg, track_maps, tgts.rois,
+                                         spatial_scale)
+            tl = jnp.sum(smooth_l1(trk_pred, tgts.track_targets, sigma=1.0),
+                         axis=-1) * tgts.track_weights
+            tw = jnp.maximum(jnp.sum(tgts.track_weights, axis=-1), 1.0)
+            track_loss = jnp.mean(jnp.sum(tl, axis=-1) / tw)
+
+    total = (rpn_cls_total + rpn_box_total + rfcn_cls_total + rfcn_box_total
+             + track_loss)
+    lb = LossBreakdown(total=total, rpn_cls=rpn_cls_total,
+                       rpn_box=rpn_box_total, rfcn_cls=rfcn_cls_total,
+                       rfcn_box=rfcn_box_total, track=track_loss,
+                       num_fg=num_fg, fg_ce=fg_ce_total)
+    return lb.total, lb

@@ -95,6 +95,59 @@ def test_parallel_train_step_8_devices():
                                rtol=2e-4)
 
 
+@pytest.mark.parametrize("ohem", [True, False])
+def test_batched_loss_matches_vmapped_pair_loss(ohem):
+    """batch_loss (one forward over 2B frames + batch-folded pools, round-4
+    VERDICT task 4) must equal the vmapped per-pair formulation — same RNG
+    key flow, same losses, for both target-assignment paths."""
+    from dtt.train.losses import batch_loss, batch_loss_vmapped
+    from dtt.core.anchors import grid_anchors_for
+    from dtt.models.dnt import make_model
+
+    cfg = tiny_config(ohem=ohem)
+    batch = make_batch(cfg, 3, seed=4)
+    model = make_model(cfg.model)
+    params = model.init(jax.random.PRNGKey(0), batch["images"][:1])
+    anchors = jnp.asarray(grid_anchors_for(cfg.model.anchors, H // 16, W // 16))
+    key = jax.random.PRNGKey(7)
+
+    _, lb_new = jax.jit(batch_loss, static_argnums=(0, 1))(
+        cfg, model, params, anchors, batch, key)
+    _, lb_old = jax.jit(batch_loss_vmapped, static_argnums=(0, 1))(
+        cfg, model, params, anchors, batch, key)
+    for name in lb_new._fields:
+        np.testing.assert_allclose(
+            float(getattr(lb_new, name)), float(getattr(lb_old, name)),
+            rtol=2e-4, atol=1e-5, err_msg=name)
+
+
+def test_batched_loss_gradients_match():
+    """Gradient parity: the batched formulation must backprop identically
+    (pools moved out of the vmap must transpose the same)."""
+    from dtt.train.losses import batch_loss, batch_loss_vmapped
+    from dtt.core.anchors import grid_anchors_for
+    from dtt.models.dnt import make_model
+
+    cfg = tiny_config(ohem=False)
+    batch = make_batch(cfg, 2, seed=9)
+    model = make_model(cfg.model)
+    params = model.init(jax.random.PRNGKey(0), batch["images"][:1])
+    anchors = jnp.asarray(grid_anchors_for(cfg.model.anchors, H // 16, W // 16))
+    key = jax.random.PRNGKey(3)
+
+    g_new = jax.jit(jax.grad(
+        lambda p: batch_loss(cfg, model, p, anchors, batch, key)[0]))(params)
+    g_old = jax.jit(jax.grad(
+        lambda p: batch_loss_vmapped(cfg, model, p, anchors, batch,
+                                     key)[0]))(params)
+    flat_new = jax.tree_util.tree_flatten_with_path(g_new)[0]
+    flat_old = jax.tree_util.tree_flatten_with_path(g_old)[0]
+    for (path, a), (_, b) in zip(flat_new, flat_old):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_frozen_params_never_updated():
     """Frozen leaves (BN affines, frozen stages) get exactly zero optimizer
     updates even under weight decay (review finding: add_decayed_weights
