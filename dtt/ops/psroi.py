@@ -388,21 +388,27 @@ def _psroi_direct_kernel(r_ref,    # VMEM (1, 1, N, H)   row interval indicator
 
     bin_sum[n, d] = Σ_y Σ_x 1[hs<=y<he] M[y, x, d] 1[ws<=x<we] — two MXU
     contractions per (frame, bin) program. Unlike the SAT kernels, operands
-    are O(1) map values, so the matmuls run at the input dtype's native MXU
-    rate (bf16 maps -> full speed) instead of f32 HIGHEST: the SAT's
-    O(H*W)-magnitude entries are what forced the 6-pass precision there.
+    are O(1) map values, so bf16 maps run at the MXU's native bf16 rate; the
+    SAT's O(H*W)-magnitude entries are what forced the 6-pass precision
+    there. float32 maps get Precision.HIGHEST so hardware results stay
+    f32-exact like the oracle (the TPU default would silently truncate f32
+    operands to ~bf16 — advisor round-3 finding).
     """
     dt = map_ref.dtype
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     slab = map_ref[0, 0]                               # (H, D*W), d*W + x
     t1 = jnp.dot(r_ref[0, 0].astype(dt), slab,
-                 preferred_element_type=jnp.float32)   # (N, D*W) f32
+                 preferred_element_type=jnp.float32,
+                 precision=prec)                       # (N, D*W) f32
     cind = pltpu.repeat(c_ref[0, 0], d, axis=1)        # (N, D*W)
     sel = (jax.lax.broadcasted_iota(jnp.int32, (w * d, d), 0) // w
            == jax.lax.broadcasted_iota(jnp.int32, (w * d, d), 1))
     # t1 entries are bin-row sums (<=H terms of O(1)); casting back to the
     # map dtype costs less precision than the conv that produced the maps
     out_ref[0, 0, 0] = jnp.dot((t1 * cind).astype(dt), sel.astype(dt),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
 
 
 def _interval_indicators(hs, he, ws, we, height: int, width: int):

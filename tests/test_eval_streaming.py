@@ -149,6 +149,7 @@ def test_strided_eval_decodes_each_frame_once(tau, batch):
     assert frames.peak_cached <= 2 * batch
 
 
+@pytest.mark.slow
 def test_streamed_eval_matches_stacked(long_snippet_tree):
     """evaluate_snippet_video(LazyFrames) == evaluate_snippet_video(ndarray)
     bit-for-bit, while holding at most a handful of frames in memory."""

@@ -21,6 +21,9 @@ from dtt.parallel.mesh import data_mesh
 from tests.test_models import tiny_config
 
 
+pytestmark = pytest.mark.slow  # compiles production-ish models; run via `pytest -m slow`
+
+
 @pytest.fixture(scope="module")
 def setup():
     cfg = tiny_config()

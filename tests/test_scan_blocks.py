@@ -3,11 +3,15 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dtt.models.resnet import ResNetBackbone
 from dtt.utils.torch_import import conv_to_flax, import_resnet_backbone
 
 LAYERS = (2, 3, 2, 2)
+
+
+pytestmark = pytest.mark.slow  # compiles production-ish models; run via `pytest -m slow`
 
 
 def _loop_to_scan(params: dict) -> dict:

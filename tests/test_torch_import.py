@@ -15,6 +15,9 @@ from dtt.utils.torch_import import (conv_to_flax, fold_bn,  # noqa: E402
                                     permute_ps_channels)
 
 
+pytestmark = pytest.mark.slow  # compiles production-ish models; run via `pytest -m slow`
+
+
 class TorchBottleneck(tnn.Module):
     """torchvision-layout Bottleneck (stride on conv2, optional dilation)."""
 

@@ -54,6 +54,7 @@ def test_train_step_runs_and_is_finite(ohem):
     assert int(state.step) == 1
 
 
+@pytest.mark.slow
 def test_loss_decreases():
     cfg = tiny_config(ohem=False)
     batch = make_batch(cfg, 2)
@@ -69,6 +70,7 @@ def test_loss_decreases():
     assert last < first * 0.8, f"loss did not decrease: {first} -> {last}"
 
 
+@pytest.mark.slow
 def test_parallel_train_step_8_devices():
     assert jax.device_count() == 8, "conftest must provide 8 cpu devices"
     cfg = tiny_config()
@@ -95,6 +97,7 @@ def test_parallel_train_step_8_devices():
                                rtol=2e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ohem", [True, False])
 def test_batched_loss_matches_vmapped_pair_loss(ohem):
     """batch_loss (one forward over 2B frames + batch-folded pools, round-4
@@ -121,6 +124,7 @@ def test_batched_loss_matches_vmapped_pair_loss(ohem):
             rtol=2e-4, atol=1e-5, err_msg=name)
 
 
+@pytest.mark.slow
 def test_batched_loss_gradients_match():
     """Gradient parity: the batched formulation must backprop identically
     (pools moved out of the vmap must transpose the same)."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dtt.core.config import load_config
 from dtt.core.anchors import grid_anchors_for
@@ -37,6 +38,7 @@ def test_normalize_passthrough_float(rng):
     assert out is x
 
 
+@pytest.mark.slow
 def test_uint8_batch_loss_equals_float_loss(rng):
     cfg = load_config("configs/tiny_synth.yml")
     h, w = cfg.input.canvas_height, cfg.input.canvas_width
