@@ -52,6 +52,10 @@ class RPNConfig(_Replaceable):
     post_nms_top_n_test: int = 300
     nms_thresh: float = 0.7
     min_size: float = 16.0
+    # eval-path proposal NMS multi-select width (nms_padded_fast): boxes
+    # committed per while-loop step. Larger = fewer serial steps but a wider
+    # per-step top-k + IoU panel; sweep via tools/profile_video33.py.
+    nms_select_block: int = 16
     # anchor_target_layer sampling (ref: lib/model/rpn/anchor_target_layer.py)
     batch_size: int = 256
     fg_fraction: float = 0.5
@@ -199,6 +203,8 @@ class EvalConfig(_Replaceable):
     tube_score_boost: str = "mean_top_half"  # D&T paper: boost by tube statistic
     max_tubes_per_class: int = 20
     link_iou_weight: float = 1.0   # psi(IoU) weight in link score
+    # per-class NMS multi-select width (see RPNConfig.nms_select_block)
+    nms_select_block: int = 16
 
 
 @dataclass(frozen=True)

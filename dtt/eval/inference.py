@@ -135,7 +135,8 @@ def _detect_and_track(cfg: Config, anchors, f_t, track_maps, im_hw, scale
     deltas = track_rois_batched(mcfg, track_maps, det.rois)
     boxes, scores, valid, tracked = decode_detections_batched(
         mcfg, det, im_hw[0], im_hw[1], ecfg.score_thresh, ecfg.nms_thresh,
-        ecfg.max_per_class, track_deltas=deltas)
+        ecfg.max_per_class, track_deltas=deltas,
+        select_block=ecfg.nms_select_block)
     return PairOutputs(boxes, scores, valid, tracked)
 
 
@@ -150,7 +151,8 @@ def _detect_and_track_fused(cfg: Config, anchors, f_t, fused_maps, im_hw,
                                             anchors, im_hw[0], im_hw[1], scale)
     boxes, scores, valid, tracked = decode_detections_batched(
         cfg.model, det, im_hw[0], im_hw[1], ecfg.score_thresh,
-        ecfg.nms_thresh, ecfg.max_per_class, track_deltas=deltas)
+        ecfg.nms_thresh, ecfg.max_per_class, track_deltas=deltas,
+        select_block=ecfg.nms_select_block)
     return PairOutputs(boxes, scores, valid, tracked)
 
 

@@ -380,16 +380,17 @@ def track_rois_batched(cfg: ModelConfig, track_maps: jnp.ndarray,
 def decode_detections_batched(cfg: ModelConfig, det: Detections,
                               im_height, im_width, score_thresh, nms_thresh,
                               max_per_class: int,
-                              track_deltas: jnp.ndarray | None = None):
+                              track_deltas: jnp.ndarray | None = None,
+                              select_block: int = 16):
     """vmapped decode_frame_detections over the frame batch."""
     if track_deltas is None:
         fn = lambda d: decode_frame_detections(
             cfg, d, im_height, im_width, score_thresh, nms_thresh,
-            max_per_class)
+            max_per_class, select_block=select_block)
         return jax.vmap(fn)(det)
     fn = lambda d, t: decode_frame_detections(
         cfg, d, im_height, im_width, score_thresh, nms_thresh,
-        max_per_class, track_deltas=t)
+        max_per_class, track_deltas=t, select_block=select_block)
     return jax.vmap(fn)(det, track_deltas)
 
 
@@ -404,7 +405,8 @@ def decode_frame_detections(cfg: ModelConfig, det: Detections,
                             im_height, im_width,
                             score_thresh=None, nms_thresh=None,
                             max_per_class: int = 20,
-                            track_deltas: jnp.ndarray | None = None):
+                            track_deltas: jnp.ndarray | None = None,
+                            select_block: int = 16):
     """Per-class box decode + NMS (ref: test_net.py post-processing).
 
     Returns (boxes (C-1, M, 4), scores (C-1, M), valid (C-1, M)[, track boxes]).
@@ -429,7 +431,7 @@ def decode_frame_detections(cfg: ModelConfig, det: Detections,
     det_boxes, det_scores, det_valid, det_idx = multiclass_nms(
         boxes, scores, nms_thresh, max_per_class,
         score_threshold=score_thresh, valid=det.roi_valid,
-        per_class_boxes=per_class_boxes)
+        per_class_boxes=per_class_boxes, select_block=select_block)
     if track_deltas is None:
         return det_boxes, det_scores, det_valid
 

@@ -86,10 +86,16 @@ def proposal_layer(rpn_cls: jnp.ndarray,     # (H, W, 2A)
     top_boxes = proposals[top_idx]
     # train keeps the fori_loop NMS (reverse-differentiable); eval uses the
     # multi-select while-loop form (identical decisions, fewer serial steps)
-    nms = nms_padded if train else nms_padded_fast
-    keep_idx, keep_valid = nms(top_boxes, top_scores, cfg.nms_thresh,
-                               k_post, valid=top_scores >= 0.0,
-                               score_threshold=-0.5)
+    if train:
+        keep_idx, keep_valid = nms_padded(top_boxes, top_scores,
+                                          cfg.nms_thresh, k_post,
+                                          valid=top_scores >= 0.0,
+                                          score_threshold=-0.5)
+    else:
+        keep_idx, keep_valid = nms_padded_fast(
+            top_boxes, top_scores, cfg.nms_thresh, k_post,
+            valid=top_scores >= 0.0, score_threshold=-0.5,
+            select_block=cfg.nms_select_block)
     rois = top_boxes[keep_idx] * keep_valid[:, None]
     out_scores = jnp.where(keep_valid, top_scores[keep_idx], 0.0)
     return Proposals(rois=rois, scores=out_scores, valid=keep_valid)

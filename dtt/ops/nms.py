@@ -152,7 +152,8 @@ def multiclass_nms(boxes: jnp.ndarray,
                    max_per_class: int,
                    score_threshold=0.0,
                    valid: jnp.ndarray | None = None,
-                   per_class_boxes: bool = False):
+                   per_class_boxes: bool = False,
+                   select_block: int = 16):
     """Per-class NMS for the eval path (ref: test_net.py per-class loop).
 
     Args:
@@ -178,7 +179,8 @@ def multiclass_nms(boxes: jnp.ndarray,
     def one_class(b, s, v):
         # eval-only path: the multi-select while-loop NMS (exact greedy)
         idx, keep_valid = nms_padded_fast(b, s, iou_threshold, max_per_class,
-                                          v, score_threshold)
+                                          v, score_threshold,
+                                          select_block=select_block)
         kept_boxes = b[idx] * keep_valid[:, None].astype(b.dtype)
         kept_scores = jnp.where(keep_valid, s[idx], 0.0)
         return kept_boxes, kept_scores, keep_valid, idx

@@ -122,7 +122,7 @@ def test_fast_nms_matches_sequential(rng):
         scores = (rng.rand(n) * 10).round(1).astype(np.float32)
         valid = rng.rand(n) > 0.1
         for thr in (0.3, 0.7):
-            for blk in (1, 4, 16, 33):
+            for blk in (1, 4, 16, 33, 64):
                 want_i, want_v = nms_padded(
                     jnp.asarray(boxes), jnp.asarray(scores), thr, 40,
                     valid=jnp.asarray(valid), score_threshold=0.05)

@@ -37,11 +37,16 @@ p.add_argument("--iters", type=int, default=10)
 p.add_argument("--only", default=None)
 p.add_argument("--sweep", action="store_true",
                help="full-step chunk-size sweep instead of stage probes")
+p.add_argument("--select-block", type=int, default=16,
+               help="multi-select NMS width (proposal + per-class)")
 args = p.parse_args()
 
 cfg = Config()
-cfg = cfg.replace(model=cfg.model.replace(
-    roi=cfg.model.roi.replace(eval_pool_impl=args.impl)))
+cfg = cfg.replace(
+    model=cfg.model.replace(
+        roi=cfg.model.roi.replace(eval_pool_impl=args.impl),
+        rpn=cfg.model.rpn.replace(nms_select_block=args.select_block)),
+    eval=cfg.eval.replace(nms_select_block=args.select_block))
 mcfg = cfg.model
 h, w = cfg.input.canvas_height, cfg.input.canvas_width
 model = make_model(mcfg)
@@ -118,7 +123,8 @@ def full(c, params, frames):
                                             im_hw[0], im_hw[1], 1.0)
     b, s, v, tr = decode_detections_batched(
         mcfg, det, im_hw[0], im_hw[1], ecfg.score_thresh, ecfg.nms_thresh,
-        ecfg.max_per_class, track_deltas=deltas)
+        ecfg.max_per_class, track_deltas=deltas,
+        select_block=ecfg.nms_select_block)
     return jnp.sum(s) + jnp.sum(b) * 1e-9 + jnp.sum(tr) * 1e-9 + c * 1e-9
 
 
