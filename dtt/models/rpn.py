@@ -65,6 +65,15 @@ def proposal_layer(rpn_cls: jnp.ndarray,     # (H, W, 2A)
     """
     h, w, _ = rpn_cls.shape
     a = anchors.shape[0] // (h * w)
+    if train:
+        # Reference parity: the proposal layer is DETACHED from the graph
+        # (the lineage's proposal_layer.py runs on .data / numpy; proposals
+        # carry no gradient). Without this, the encode(rois, gt) regression
+        # TARGETS backprop into the RPN bbox head with the wrong sign
+        # (moving targets toward predictions), and the NMS select loop sits
+        # on the differentiation path for no reason.
+        rpn_cls = jax.lax.stop_gradient(rpn_cls)
+        rpn_bbox = jax.lax.stop_gradient(rpn_bbox)
     logits = rpn_cls.reshape(-1, 2)                       # (HWA, 2)
     fg_scores = jax.nn.softmax(logits, axis=-1)[:, 1]
     deltas = rpn_bbox.reshape(-1, 4)
@@ -84,18 +93,14 @@ def proposal_layer(rpn_cls: jnp.ndarray,     # (H, W, 2A)
 
     top_scores, top_idx = jax.lax.top_k(scores, k_pre)
     top_boxes = proposals[top_idx]
-    # train keeps the fori_loop NMS (reverse-differentiable); eval uses the
-    # multi-select while-loop form (identical decisions, fewer serial steps)
-    if train:
-        keep_idx, keep_valid = nms_padded(top_boxes, top_scores,
-                                          cfg.nms_thresh, k_post,
-                                          valid=top_scores >= 0.0,
-                                          score_threshold=-0.5)
-    else:
-        keep_idx, keep_valid = nms_padded_fast(
-            top_boxes, top_scores, cfg.nms_thresh, k_post,
-            valid=top_scores >= 0.0, score_threshold=-0.5,
-            select_block=cfg.nms_select_block)
+    # multi-select while-loop NMS in BOTH modes (identical decisions to the
+    # sequential greedy form, ~select_block x fewer serial steps). Train is
+    # eligible because the layer is detached above: the loop carries no
+    # cotangents, so reverse-mode AD treats it as primal-only.
+    keep_idx, keep_valid = nms_padded_fast(
+        top_boxes, top_scores, cfg.nms_thresh, k_post,
+        valid=top_scores >= 0.0, score_threshold=-0.5,
+        select_block=cfg.nms_select_block)
     rois = top_boxes[keep_idx] * keep_valid[:, None]
     out_scores = jnp.where(keep_valid, top_scores[keep_idx], 0.0)
     return Proposals(rois=rois, scores=out_scores, valid=keep_valid)

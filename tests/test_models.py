@@ -88,6 +88,34 @@ def test_proposal_layer_recovers_planted_box(rng):
     assert np.all(np.asarray(props.rois)[~np.asarray(props.valid)] == 0)
 
 
+def test_proposal_layer_detached_at_train(rng):
+    """Train-mode proposals carry NO gradient to the RPN outputs (reference
+    parity: the lineage's proposal layer runs on .data/numpy, so regression
+    TARGETS built from rois must be constants — round-4 fix; without the
+    detach, encode(rois, gt) backprops into the RPN bbox head with the
+    wrong sign)."""
+    cfg = tiny_config()
+    h, w = 8, 8
+    anchors = jnp.asarray(grid_anchors_for(cfg.model.anchors, h, w))
+    a = cfg.model.anchors.num_anchors
+    cls = jnp.asarray(rng.randn(h, w, 2 * a).astype(np.float32))
+    bbox = jnp.asarray(rng.randn(h, w, 4 * a).astype(np.float32) * 0.1)
+
+    def roi_sum(rc, rb, train):
+        p = proposal_layer(rc, rb, anchors, 128, 128, 1.0, cfg.model.rpn,
+                           train=train)
+        return jnp.sum(p.rois) + jnp.sum(p.scores)
+
+    g_cls, g_bbox = jax.grad(lambda rc, rb: roi_sum(rc, rb, True),
+                             argnums=(0, 1))(cls, bbox)
+    assert not np.asarray(g_cls).any()
+    assert not np.asarray(g_bbox).any()
+    # eval mode keeps the (unused) differentiable path intact
+    g_cls_e, _ = jax.grad(lambda rc, rb: roi_sum(rc, rb, False),
+                          argnums=(0, 1))(cls, bbox)
+    assert np.asarray(g_cls_e).any()
+
+
 def test_smooth_l1_values():
     pred = jnp.asarray([0.0, 2.0])
     tgt = jnp.asarray([0.05, 0.0])
