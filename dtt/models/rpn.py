@@ -17,7 +17,7 @@ import flax.linen as nn
 
 from dtt.core import boxes as box_ops
 from dtt.core.config import RPNConfig
-from dtt.ops.nms import nms_padded, nms_padded_fast
+from dtt.ops.nms import nms_padded_fast
 
 
 class RPNHead(nn.Module):
