@@ -32,8 +32,11 @@ import time
 import numpy as np
 
 ASSUMED_A100_REFERENCE_PAIRS_PER_SEC = 15.0
-CHUNK = 33  # frames per step -> CHUNK-1 frame pairs (measured best: 33
-            # frames 160.6, 25 fr 155.0, 17 fr 143.6 pairs/s)
+CHUNK = 97  # frames per step -> CHUNK-1 frame pairs. Round-4 sweep
+            # (direct pool, NMS width 32, forced-fetch): 17fr 163.9,
+            # 33fr 196.1, 49fr 201.4, 65fr 206.5, 97fr 217.4 (peak),
+            # 129fr 212.8, 161fr 169.0 pairs/s — larger chunks win on
+            # early-stage batch efficiency, not dispatch (<=4 ms/chunk).
 
 
 def main():
@@ -67,10 +70,13 @@ def main():
     float(infer(params, frames))  # compile + warm
     lat = sync_latency()
 
-    variants = [frames + np.float32(i) * 1e-6 for i in range(16)]
+    # 6 staged variants: 16 float32 97-frame chunks would be ~12 GB of HBM
+    # (RESOURCE_EXHAUSTED); 6 x 770 MB leaves room for the step workspace.
+    # Two timed passes over them give 12 samples like before.
+    variants = [frames + np.float32(i) * 1e-6 for i in range(6)]
     jax.block_until_ready(variants)  # inputs prepared outside the timed window
     times = []
-    for f in variants:
+    for f in variants + variants:
         t0 = time.perf_counter()
         float(infer(params, f))            # scalar fetch forces execution
         times.append(time.perf_counter() - t0)

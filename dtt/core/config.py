@@ -52,10 +52,11 @@ class RPNConfig(_Replaceable):
     post_nms_top_n_test: int = 300
     nms_thresh: float = 0.7
     min_size: float = 16.0
-    # eval-path proposal NMS multi-select width (nms_padded_fast): boxes
-    # committed per while-loop step. Larger = fewer serial steps but a wider
-    # per-step top-k + IoU panel; sweep via tools/profile_video33.py.
-    nms_select_block: int = 16
+    # proposal NMS multi-select width (nms_padded_fast): boxes committed
+    # per while-loop step. Larger = fewer serial steps but a wider per-step
+    # top-k + IoU panel; round-4 sweep at 33 frames: 16 -> 149.6 ms stage-D,
+    # 32 -> 147.1, 64 -> 147.6 (tools/profile_video33.py --select-block).
+    nms_select_block: int = 32
     # anchor_target_layer sampling (ref: lib/model/rpn/anchor_target_layer.py)
     batch_size: int = 256
     fg_fraction: float = 0.5
@@ -90,8 +91,10 @@ class RoIConfig(_Replaceable):
     # the per-frame ops keep psroi_pool's own dispatch): "gather" = SAT +
     # flat corner gathers (psroi_pool_batched), "pallas_mm" = SAT bilinear
     # MXU kernel, "direct" = SAT-free interval-indicator MXU kernel
-    # (psroi_pool_batched_direct). Measured table in BASELINE.md.
-    eval_pool_impl: str = "gather"
+    # (psroi_pool_batched_direct). Round-4 production-scale decision
+    # (33-frame chunk, pool stage only): direct 12.3 ms, gather 26.5,
+    # pallas_mm 49.7 — "direct" is the default (table in BASELINE.md).
+    eval_pool_impl: str = "direct"
 
 
 @dataclass(frozen=True)
@@ -204,7 +207,7 @@ class EvalConfig(_Replaceable):
     max_tubes_per_class: int = 20
     link_iou_weight: float = 1.0   # psi(IoU) weight in link score
     # per-class NMS multi-select width (see RPNConfig.nms_select_block)
-    nms_select_block: int = 16
+    nms_select_block: int = 32
 
 
 @dataclass(frozen=True)

@@ -233,15 +233,16 @@ def main():
         mesh = data_mesh()
         n = mesh.size
         fpd = (max(1, (args.synthetic_frames + n) // n) if args.synthetic
-               else max(1, 32 // n))
+               else max(1, 96 // n))
         video_step = make_video_step_parallel(cfg, model, mesh, fpd)
         print(f"parallel eval: {n}-device mesh, "
               f"{video_step.frames_per_chunk}-frame chunks")
     else:
         from dtt.eval.inference import make_video_step
         # synthetic snippets are short and known-length: size the chunk to
-        # the snippet instead of padding 8 frames up to a 33-frame upload
-        fpc = (min(33, args.synthetic_frames + 1) if args.synthetic else 33)
+        # the snippet instead of padding 8 frames up to a 97-frame upload.
+        # 97 is the measured throughput peak (bench.py CHUNK table).
+        fpc = (min(97, args.synthetic_frames + 1) if args.synthetic else 97)
         video_step = make_video_step(cfg, model, fpc)
     num_classes = cfg.model.num_classes
 

@@ -37,6 +37,8 @@ p.add_argument("--iters", type=int, default=10)
 p.add_argument("--only", default=None)
 p.add_argument("--sweep", action="store_true",
                help="full-step chunk-size sweep instead of stage probes")
+p.add_argument("--sweep-frames", type=int, nargs="*", default=None,
+               help="chunk sizes for --sweep (default 17 33 49 65 97)")
 p.add_argument("--select-block", type=int, default=16,
                help="multi-select NMS width (proposal + per-class)")
 args = p.parse_args()
@@ -132,7 +134,7 @@ if args.sweep:
     from dtt.eval.inference import make_video_step
     from dtt.utils.timing import sync_latency
     import time
-    for f_n in (17, 33, 49, 65, 97):
+    for f_n in (args.sweep_frames or (17, 33, 49, 65, 97)):
         fr = jnp.asarray(rng.randn(f_n, h, w, 3).astype(np.float32))
         step = make_video_step(cfg, model, f_n)
 
