@@ -22,6 +22,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compile cache (same as the entry points): CPU compiles dominate
+# suite wall time on this 1-core host — a warm cache cuts the default tier
+# severalfold. Keyed by platform, so TPU entries are unaffected.
+from dtt.utils.cache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,6 +1,7 @@
 """Checkpoint save/resume determinism."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -12,6 +13,7 @@ from dtt.train.trainer import create_train_state, make_train_step
 from tests.test_train import tiny_config, make_batch, H, W
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_and_resume(tmp_path):
     cfg = tiny_config(ohem=False)
     batch = make_batch(cfg, 1)

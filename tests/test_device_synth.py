@@ -4,6 +4,7 @@ background distribution, and the render_fn train-step path."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dtt.data import device_synth, synthetic
 
@@ -73,6 +74,7 @@ def test_render_pairs_background_distribution():
     assert 28 < out.mean() < 32
 
 
+@pytest.mark.slow
 def test_device_render_train_step_runs(rng):
     """make_train_step(render_fn=...) trains from KB-scale scene params:
     finite loss, and the rendered path's loss matches a host-rendered batch

@@ -114,6 +114,7 @@ def test_video_step_matches_pair_step(setup):
                                    rtol=1e-4, atol=1e-4, err_msg=name)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["align", "pool", "crop"])
 def test_pooling_mode_dispatch(mode):
     """cfg.roi.pooling_mode switches the live head (ref cfg.POOLING_MODE):
@@ -148,6 +149,7 @@ def test_pooling_mode_dispatch(mode):
     assert np.isfinite(float(metrics["total"]))
 
 
+@pytest.mark.slow
 def test_uint8_eval_matches_float(rng):
     """uint8 frames into the jitted eval steps == host-normalized float32
     (device normalization is exact on integer pixels): tunnel uploads drop

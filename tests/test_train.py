@@ -39,7 +39,7 @@ def make_batch(cfg, b, seed=0):
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
-@pytest.mark.parametrize("ohem", [True, False])
+@pytest.mark.parametrize("ohem", [True, pytest.param(False, marks=pytest.mark.slow)])
 def test_train_step_runs_and_is_finite(ohem):
     cfg = tiny_config(ohem=ohem)
     batch = make_batch(cfg, 1)

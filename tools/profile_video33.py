@@ -89,6 +89,53 @@ def plus_fused_maps(c, params, frames):
     return jnp.sum(fm) * 1e-9 + c * 1e-9
 
 
+def plus_prep(c, params, frames):
+    """trunk + the cosine-normalization prep of all 3 corr scales (no corr)."""
+    feats = model.apply(params, frames + c * 1e-12, method=DnT.frame_trunk)
+    f_t = jax.tree.map(lambda x: x[:-1], feats)
+    f_tau = jax.tree.map(lambda x: x[1:], feats)
+    tot = 0.0
+    for s in mcfg.track.scales:
+        for x in (f_t.corr_feats[s], f_tau.corr_feats[s]):
+            n = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
+                                 keepdims=True) + 1e-6)
+            xn = (x / n.astype(x.dtype)) * jnp.sqrt(float(x.shape[-1])).astype(x.dtype)
+            tot = tot + jnp.sum(xn.astype(jnp.float32)) * 1e-9
+    return tot + c * 1e-9
+
+
+def plus_corr(c, params, frames):
+    """trunk + 3-scale cosine correlation volumes (no concat, no conv)."""
+    from dtt.ops.correlation import correlation
+    feats = model.apply(params, frames + c * 1e-12, method=DnT.frame_trunk)
+    f_t = jax.tree.map(lambda x: x[:-1], feats)
+    f_tau = jax.tree.map(lambda x: x[1:], feats)
+    tcfg = mcfg.track
+
+    def prep(x):
+        n = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
+                             keepdims=True) + 1e-6)
+        return (x / n.astype(x.dtype)) * jnp.sqrt(float(x.shape[-1])).astype(x.dtype)
+
+    tot = 0.0
+    for s in tcfg.scales:
+        v = jax.vmap(lambda a, b: correlation(a, b, tcfg.max_displacement,
+                                              tcfg.stride))(
+            prep(f_t.corr_feats[s]), prep(f_tau.corr_feats[s]))
+        tot = tot + jnp.sum(v.astype(jnp.float32)) * 1e-9
+    return tot + c * 1e-9
+
+
+def plus_track_input(c, params, frames):
+    """trunk + the full 2291-channel concat (corr + concat, no conv)."""
+    feats = model.apply(params, frames + c * 1e-12, method=DnT.frame_trunk)
+    f_t = jax.tree.map(lambda x: x[:-1], feats)
+    f_tau = jax.tree.map(lambda x: x[1:], feats)
+    stacked = model.apply(params, f_t, f_tau,
+                          method=lambda m, a, b: m._track_input(a, b))
+    return jnp.sum(stacked.astype(jnp.float32)) * 1e-9 + c * 1e-9
+
+
 def plus_proposals(c, params, frames):
     feats = model.apply(params, frames + c * 1e-12, method=DnT.frame_trunk)
     f_t = jax.tree.map(lambda x: x[:-1], feats)
@@ -174,6 +221,9 @@ else:
           f"impl={args.impl}", flush=True)
     t("A backbone only", backbone_only)
     t("B frame_trunk (backbone+rpn+reduce+c3p)", trunk)
+    t("B1 + cosine prep only", plus_prep)
+    t("B2 + 3-scale correlation", plus_corr)
+    t("B3 + track-input concat", plus_track_input)
     t("C + correlation + fused ps-maps conv", plus_fused_maps)
     t("D + proposal NMS", plus_proposals)
     t(f"E + fused PSRoI pool [{args.impl}]", plus_fused_pool)
