@@ -137,27 +137,61 @@ def _corr_mm_kernel(f1_ref,   # VMEM (TH, W, C) one row tile of f1
             out_ref[iy * nd + ix] = jnp.sum(band * mask[None], axis=-1)
 
 
+_VMEM_LIMIT = 100 << 20   # v5e VMEM is 128 MB; the default scoped limit (16
+                          # MB) forced 8-row tiles with a 2d-row halo, and the
+                          # resulting 5-deep grid + stacked overlapping f2
+                          # tiles ran 4-8x slower than whole-frame tiles
+                          # (BASELINE.md round 4: c3p rb=8 1.21 ms vs
+                          # whole-frame 0.18 ms at 8 frames)
+
+
+def _auto_row_block(h: int, w: int, c: int, nd2: int, d: int,
+                    itemsize: int) -> int:
+    """Largest row tile whose double-buffered working set fits scoped VMEM.
+
+    Whole-frame tiles (ht=1) kill both the halo overcompute and the stacked
+    overlapping-tile materialization; fall back to multiples of 8 only when
+    a frame genuinely cannot fit (not the case at any production scale)."""
+    v = w + 2 * d
+    budget = (_VMEM_LIMIT * 3) // 4
+
+    def need(th):
+        tile = (th * w * c + (th + 2 * d) * v * c) * itemsize + nd2 * th * w * 4
+        return 2 * tile + th * w * v * 4              # + the (TH, W, V) band
+    if need(h) <= budget:
+        return h
+    for th in range((h // 8) * 8, 0, -8):             # multiple-of-8 fallback
+        if need(th) <= budget:
+            return th
+    return 8
+
+
 def _correlation_pallas_mm_raw(f1: jnp.ndarray, f2: jnp.ndarray,
                                max_displacement: int, stride: int,
-                               row_block: int = 8) -> jnp.ndarray:
+                               row_block: int | None = None) -> jnp.ndarray:
     h, w, c = f1.shape
     d = max_displacement
     nd2 = len(_offsets(d, stride)) ** 2
     # Mosaic constraint: the out block's sublane dim (th) must be a
-    # multiple of 8 or the whole padded dim — row_block=8 satisfies it
+    # multiple of 8 or the whole padded dim — whole-frame th (auto) and
+    # multiples of 8 both satisfy it
+    if row_block is None:
+        row_block = _auto_row_block(h, w, c, nd2, d, f1.dtype.itemsize)
     th = min(row_block, h)
     ht = -(-h // th)                                  # row tiles (ceil)
     hp = ht * th
     v = w + 2 * d
     # bottom-pad so the last tile's shifted f2 reads stay in bounds
     f2p = jnp.pad(f2, ((d, hp - h + d), (d, d), (0, 0)))
-    # overlapping row tiles with a 2d halo (static slices, ~(th+2d)/th x the
-    # f2 bytes): a whole-f2p VMEM block would be double-buffered by the
-    # pipeline and OOM scoped vmem at production scale (measured 22.1 MB
-    # against the 16 MB limit at 32 frames x 38x68x1024)
-    f2tiles = jnp.stack([jax.lax.slice(f2p, (i * th, 0, 0),
-                                       (i * th + th + 2 * d, v, c))
-                         for i in range(ht)])         # (HT, TH+2d, V, C)
+    if ht == 1:
+        # whole-frame tile: no overlap to materialize
+        f2tiles = f2p[None]
+    else:
+        # overlapping row tiles with a 2d halo (static slices, ~(th+2d)/th x
+        # the f2 bytes, written + re-read through HBM — why ht=1 is preferred)
+        f2tiles = jnp.stack([jax.lax.slice(f2p, (i * th, 0, 0),
+                                           (i * th + th + 2 * d, v, c))
+                             for i in range(ht)])     # (HT, TH+2d, V, C)
 
     out = pl.pallas_call(
         functools.partial(_corr_mm_kernel, w=w, dmax=d, stride=stride, th=th),
@@ -171,6 +205,7 @@ def _correlation_pallas_mm_raw(f1: jnp.ndarray, f2: jnp.ndarray,
         out_specs=pl.BlockSpec((nd2, th, w), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nd2, hp, w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_use_interpret(),
     )(f1, f2tiles)
     out = out[:, :h]                                  # drop row padding

@@ -181,3 +181,16 @@ def test_pallas_mm_vmap(feats):
     for i in range(3):
         np.testing.assert_allclose(np.asarray(out[i]), want,
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_auto_row_block_production_shapes():
+    """The auto picker must choose whole-frame tiles (ht=1) at every
+    production correlation scale — the 8-row tiling it replaces measured
+    3.5-12.7x slower on v5e (BASELINE.md round 4) — and fall back to
+    multiple-of-8 tiles only when a frame cannot fit scoped VMEM."""
+    from dtt.ops.correlation import _auto_row_block
+    for h, w, c in ((19, 34, 512), (38, 68, 1024)):  # c3p, c4/c5
+        assert _auto_row_block(h, w, c, 81, 8, 2) == h
+    # a pathologically tall/wide map must fall back to a multiple of 8
+    rb = _auto_row_block(512, 512, 1024, 81, 8, 2)
+    assert rb < 512 and rb % 8 == 0
