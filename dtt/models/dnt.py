@@ -97,14 +97,9 @@ class DnT(nn.Module):
                           cls_maps=cls_maps, bbox_maps=bbox_maps,
                           reduced=reduced, corr_feats=corr_feats)
 
-    def _track_input(self, feats_t: FrameFeats, feats_tau: FrameFeats
-                     ) -> jnp.ndarray:
-        """Tracking-head input: [reduced_t, reduced_τ, corr@scales] concat.
-
-        D&T paper eq. (7): the tracking regressor sees {correlation features,
-        frame-t features, frame-τ features}. reduced_t is the FIRST channel
-        block — fused_psmaps relies on that to address the cls/bbox kernels.
-        """
+    def _corr_volumes(self, feats_t: FrameFeats, feats_tau: FrameFeats
+                      ) -> list:
+        """Per-scale cosine-correlation volumes (B, H, W, D^2) (paper §3.2)."""
         c = self.cfg.track
         corr_fn = lambda a, b: correlation(a, b, c.max_displacement, c.stride)
 
@@ -117,9 +112,19 @@ class DnT(nn.Module):
                                  keepdims=True) + 1e-6)
             return (x / n.astype(x.dtype)) * jnp.sqrt(float(x.shape[-1])).astype(x.dtype)
 
-        corrs = [jax.vmap(corr_fn)(prep(feats_t.corr_feats[s]),
-                                   prep(feats_tau.corr_feats[s]))
-                 for s in c.scales]
+        return [jax.vmap(corr_fn)(prep(feats_t.corr_feats[s]),
+                                  prep(feats_tau.corr_feats[s]))
+                for s in c.scales]
+
+    def _track_input(self, feats_t: FrameFeats, feats_tau: FrameFeats
+                     ) -> jnp.ndarray:
+        """Tracking-head input: [reduced_t, reduced_τ, corr@scales] concat.
+
+        D&T paper eq. (7): the tracking regressor sees {correlation features,
+        frame-t features, frame-τ features}. reduced_t is the FIRST channel
+        block — fused_psmaps relies on that to address the cls/bbox kernels.
+        """
+        corrs = self._corr_volumes(feats_t, feats_tau)
         return jnp.concatenate(
             [feats_t.reduced, feats_tau.reduced]
             + [x.astype(feats_t.reduced.dtype) for x in corrs], axis=-1)
@@ -138,18 +143,22 @@ class DnT(nn.Module):
         The heads stage was ~26% of the inference step and its cost is
         GATHER-ROW bound, not channel bound (tools/profile_heads.py: a D=43
         pool costs the same ~20 ms as a D=31 one, three separate pools 48 ms)
-        — so pooling once over a fused map is ~2.3x cheaper. Interleaving
-        three conv outputs into that fused map costs ~7.4 ms/chunk of HBM
-        traffic; instead the three 1x1 kernels are assembled into ONE conv
-        over the tracking input (whose first channel block IS `reduced`, the
-        cls/bbox input — their kernel rows land there, zeros elsewhere; ~2 ms
-        of extra MXU work at 32 frames). Numerically identical to the three
-        separate convs up to bf16 accumulation order; parity-tested in
+        — so pooling once over a fused map is ~2.3x cheaper.
+
+        The fused map is produced as THREE partial 1x1 convs summed in f32
+        (round 5): the tracking input's channel blocks are [reduced_t |
+        reduced_τ | corr], and only the first block feeds the cls/bbox
+        outputs — the single 2291-in x 2107-out conv over the concat spent
+        ~half its MXU FLOPs multiplying structurally-zero kernel blocks and
+        materialized the 2291-channel concat through HBM (round-2 "split
+        track-conv" note, re-costed in round 5). Splitting by input block
+        halves the conv FLOPs and drops the concat entirely. A 1x1 conv of
+        a channel concat IS the sum of the per-block convs (one f32
+        accumulator split into three partial f32 sums), so results match
+        the three separate convs to f32 addition order; parity-tested in
         tests/test_fused_heads.py. Param tree unchanged (importer-compatible).
         """
-        stacked = self._track_input(feats_t, feats_tau)
         cr = feats_t.reduced.shape[-1]
-        cs = stacked.shape[-1]
         ck = self.cls_conv.variables["params"]["kernel"]    # (1,1,cr,k2*dc)
         bk = self.bbox_conv.variables["params"]["kernel"]   # (1,1,cr,k2*db)
         tk = self.track_conv.variables["params"]["kernel"]  # (1,1,cs,k2*dt)
@@ -159,18 +168,35 @@ class DnT(nn.Module):
         k2 = c.roi.ps_grid ** 2 if c.roi.pooling_mode == "psroi" else 1
         dc, db, dt = (x.shape[-1] // k2 for x in (ck, bk, tk))
         d = dc + db + dt
-        dtype = stacked.dtype
-        kern = jnp.zeros((cs, k2, d), jnp.float32)
-        kern = kern.at[:cr, :, :dc].set(ck.reshape(cr, k2, dc))
-        kern = kern.at[:cr, :, dc:dc + db].set(bk.reshape(cr, k2, db))
-        kern = kern.at[:, :, dc + db:].set(tk.reshape(cs, k2, dt))
+        cs = tk.shape[-2]
+        dtype = feats_t.reduced.dtype
+
+        def conv1x1(x, kern_f32):
+            return jax.lax.conv_general_dilated(
+                x, kern_f32.astype(dtype), window_strides=(1, 1),
+                padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+
+        # frame-t block: cls + bbox + the track kernel's reduced_t rows,
+        # interleaved bin-major [cls | bbox | track] per bin
+        k1 = jnp.zeros((cr, k2, d), jnp.float32)
+        k1 = k1.at[:, :, :dc].set(ck.reshape(cr, k2, dc))
+        k1 = k1.at[:, :, dc:dc + db].set(bk.reshape(cr, k2, db))
+        k1 = k1.at[:, :, dc + db:].set(tk[0, 0, :cr].reshape(cr, k2, dt))
+        out = conv1x1(feats_t.reduced, k1.reshape(1, 1, cr, k2 * d))
+        # frame-τ and correlation blocks only feed the track output slots
+        k2tau = tk[0, 0, cr:2 * cr].reshape(1, 1, cr, k2 * dt)
+        track = conv1x1(feats_tau.reduced, k2tau)
+        corrs = self._corr_volumes(feats_t, feats_tau)
+        corr = jnp.concatenate([x.astype(dtype) for x in corrs], axis=-1)
+        k3 = tk[0, 0, 2 * cr:cs].reshape(1, 1, cs - 2 * cr, k2 * dt)
+        track = track + conv1x1(corr, k3)
+        b, hh, ww = out.shape[:3]
+        out = out.reshape(b, hh, ww, k2, d)
+        out = out.at[..., dc + db:].add(track.reshape(b, hh, ww, k2, dt))
         bias = jnp.concatenate([cb_.reshape(k2, dc), bb_.reshape(k2, db),
                                 tb_.reshape(k2, dt)], axis=-1).reshape(k2 * d)
-        out = jax.lax.conv_general_dilated(
-            stacked, kern.reshape(1, 1, cs, k2 * d).astype(dtype),
-            window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return (out + bias.astype(dtype)).astype(jnp.float32)
+        return out.reshape(b, hh, ww, k2 * d) + bias
 
     def frame_trunk(self, images: jnp.ndarray) -> FrameFeats:
         """frame_features WITHOUT the cls/bbox map convs (their kernels run

@@ -147,22 +147,33 @@ _VMEM_LIMIT = 100 << 20   # v5e VMEM is 128 MB; the default scoped limit (16
 
 def _auto_row_block(h: int, w: int, c: int, nd2: int, d: int,
                     itemsize: int) -> int:
-    """Largest row tile whose double-buffered working set fits scoped VMEM.
+    """Largest row tile whose working set fits scoped VMEM.
 
     Whole-frame tiles (ht=1) kill both the halo overcompute and the stacked
     overlapping-tile materialization; fall back to multiples of 8 only when
-    a frame genuinely cannot fit (not the case at any production scale)."""
+    a frame genuinely cannot fit (not the case at any production scale).
+
+    Buffer model: a grid of 1 has no revolving pipeline, so the whole-frame
+    candidate is charged single-buffered; multi-tile candidates pay the 2x
+    double-buffer. The minimum (th=8) tile is accepted against the full
+    hard limit — and if even that exceeds it, fail loudly at trace time
+    instead of as an opaque Mosaic VMEM error (ADVICE round 4)."""
     v = w + 2 * d
     budget = (_VMEM_LIMIT * 3) // 4
 
-    def need(th):
+    def need(th, buffers):
         tile = (th * w * c + (th + 2 * d) * v * c) * itemsize + nd2 * th * w * 4
-        return 2 * tile + th * w * v * 4              # + the (TH, W, V) band
-    if need(h) <= budget:
+        return buffers * tile + th * w * v * 4        # + the (TH, W, V) band
+    if need(h, 1) <= budget:                          # grid of 1: no pipeline
         return h
     for th in range((h // 8) * 8, 0, -8):             # multiple-of-8 fallback
-        if need(th) <= budget:
+        if need(th, 2) <= budget:
             return th
+    if need(8, 2) > _VMEM_LIMIT:
+        raise ValueError(
+            f"correlation_pallas_mm: no row tile of ({h}, {w}, {c}) x "
+            f"itemsize {itemsize} fits the {_VMEM_LIMIT >> 20} MB VMEM "
+            f"limit (min tile needs {need(8, 2) >> 20} MB); use impl='mm'")
     return 8
 
 

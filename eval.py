@@ -34,6 +34,15 @@ def parse_args():
     p.add_argument("--synthetic-frames", type=int, default=8,
                    help="frames per synthetic snippet (also sizes the video "
                         "chunk so short snippets aren't padded to 33 frames)")
+    p.add_argument("--synthetic-hard", action="store_true",
+                   help="hard synthetic eval: occlusion windows, flickering "
+                        "distractors, noise bursts, confusable textures "
+                        "(dtt/data/synthetic_hard.py) — the linking benchmark")
+    p.add_argument("--hard-visibility", type=float, nargs=2, default=None,
+                   metavar=("LO", "HI"), help="occlusion-window alpha range")
+    p.add_argument("--hard-distractors", type=int, default=None)
+    p.add_argument("--hard-noise-sigma", type=float, default=None)
+    p.add_argument("--hard-occlusion-prob", type=float, default=None)
     p.add_argument("--link", action="store_true", help="tube linking + rescoring")
     p.add_argument("--tau", type=int, default=1,
                    help="temporal stride for strided testing (D&T paper §4); "
@@ -49,7 +58,10 @@ def parse_args():
                    help="data-parallel inference over ALL devices: τ=1 "
                         "shards each chunk's frames (one-frame halo "
                         "exchange); τ>1 shards the pair batch")
-    return p.parse_args()
+    args = p.parse_args()
+    if args.synthetic_hard:
+        args.synthetic = True   # hard mode IS synthetic (chunk sizing etc.)
+    return args
 
 
 def load_model_state(args):
@@ -82,17 +94,26 @@ def load_model_state(args):
     return cfg, model, state
 
 
-def snippet_stream_synthetic(cfg, n_snippets, num_frames=8):
+def snippet_stream_synthetic(cfg, n_snippets, num_frames=8, hard=None):
     """Synthetic snippets ship as RAW uint8 canvases: the jitted eval steps
     normalize on device (exact — normalize_device_images), and uint8 is 4x
-    fewer H2D bytes than float32 through this machine's ~40 MB/s tunnel."""
-    from dtt.data.synthetic import synthetic_snippet
+    fewer H2D bytes than float32 through this machine's ~40 MB/s tunnel.
+
+    `hard`: a dtt.data.synthetic_hard.Hardness — switch to the hard
+    generator (occlusions/distractors/noise; the linking benchmark)."""
     rng = np.random.RandomState(123)
     h, w = cfg.input.canvas_height, cfg.input.canvas_width
     for i in range(n_snippets):
-        imgs, gt_boxes, gt_labels, gt_valid = synthetic_snippet(
-            rng, num_frames, h, w, cfg.model.num_classes,
-            cfg.input.max_gt_boxes, uint8=True)
+        if hard is not None:
+            from dtt.data.synthetic_hard import synthetic_hard_snippet
+            imgs, gt_boxes, gt_labels, gt_valid = synthetic_hard_snippet(
+                rng, num_frames, h, w, cfg.model.num_classes,
+                cfg.input.max_gt_boxes, hard=hard, uint8=True)
+        else:
+            from dtt.data.synthetic import synthetic_snippet
+            imgs, gt_boxes, gt_labels, gt_valid = synthetic_snippet(
+                rng, num_frames, h, w, cfg.model.num_classes,
+                cfg.input.max_gt_boxes, uint8=True)
         yield (f"synthetic_{i}", imgs, (h, w), 1.0,
                (gt_boxes, gt_labels, gt_valid))
 
@@ -256,9 +277,23 @@ def main():
     all_gts = {c: {} for c in range(1, num_classes)}
     frame_uid = 0
 
+    hard = None
+    if args.synthetic_hard:
+        from dtt.data.synthetic_hard import Hardness
+        over = {}
+        if args.hard_visibility is not None:
+            over["visibility"] = tuple(args.hard_visibility)
+        if args.hard_distractors is not None:
+            over["distractors"] = args.hard_distractors
+        if args.hard_noise_sigma is not None:
+            over["noise_sigma"] = args.hard_noise_sigma
+        if args.hard_occlusion_prob is not None:
+            over["occlusion_prob"] = args.hard_occlusion_prob
+        hard = Hardness(**over)
     stream = (snippet_stream_synthetic(cfg, args.synthetic_snippets,
-                                       args.synthetic_frames)
-              if args.synthetic else snippet_stream_vid(cfg, args))
+                                       args.synthetic_frames, hard=hard)
+              if args.synthetic or args.synthetic_hard
+              else snippet_stream_vid(cfg, args))
 
     for name, frames, im_hw, scale, (gt_boxes, gt_labels, gt_valid) in stream:
         t_len = frames.shape[0]

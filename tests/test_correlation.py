@@ -188,9 +188,17 @@ def test_auto_row_block_production_shapes():
     production correlation scale — the 8-row tiling it replaces measured
     3.5-12.7x slower on v5e (BASELINE.md round 4) — and fall back to
     multiple-of-8 tiles only when a frame cannot fit scoped VMEM."""
-    from dtt.ops.correlation import _auto_row_block
+    from dtt.ops.correlation import _auto_row_block, _VMEM_LIMIT
     for h, w, c in ((19, 34, 512), (38, 68, 1024)):  # c3p, c4/c5
         assert _auto_row_block(h, w, c, 81, 8, 2) == h
-    # a pathologically tall/wide map must fall back to a multiple of 8
+    # a pathologically tall/wide map must fall back to a multiple of 8,
+    # and the returned tile must genuinely fit the hard VMEM limit
+    # (ADVICE round 4: the old fallback returned 8 unchecked)
     rb = _auto_row_block(512, 512, 1024, 81, 8, 2)
     assert rb < 512 and rb % 8 == 0
+    tile = (rb * 512 * 1024 + (rb + 16) * 528 * 1024) * 2 + 81 * rb * 512 * 4
+    assert 2 * tile + rb * 512 * 528 * 4 <= _VMEM_LIMIT
+    # a shape whose MINIMUM tile exceeds the hard limit fails loudly at
+    # trace time instead of as an opaque Mosaic VMEM error
+    with pytest.raises(ValueError, match="VMEM"):
+        _auto_row_block(512, 1024, 2048, 81, 8, 4)
