@@ -208,6 +208,15 @@ class EvalConfig(_Replaceable):
     link_iou_weight: float = 1.0   # psi(IoU) weight in link score
     # per-class NMS multi-select width (see RPNConfig.nms_select_block)
     nms_select_block: int = 32
+    # Two-dispatch video/pair step: trunk in one jitted program, correlation
+    # + heads + decode in a second (arrays stay on device between the two).
+    # The 3-scale correlation compiles ~2.5x slower when it shares a program
+    # with the backbone (round-5 interaction probes, BASELINE.md: 33.2 ms
+    # in-program vs 13.3 ms as its own program on the SAME buffers —
+    # invariant to dtype/copies/optimization_barrier/VMEM limits), so the
+    # split recovers ~16 ms per 33-frame chunk. Results are bit-identical
+    # (tests/test_inference.py split-parity test).
+    split_video_step: bool = True
 
 
 @dataclass(frozen=True)

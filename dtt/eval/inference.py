@@ -176,16 +176,62 @@ def _pair_forward(cfg: Config, model: DnT, anchors, params, pairs, im_hw,
                                    scale)
 
 
+def _post_trunk_fused(cfg: Config, model: DnT, anchors, params, f_t, f_tau,
+                      im_hw, scale) -> PairOutputs:
+    """Everything AFTER the trunk on the fused path: 3-scale correlation +
+    fused ps-maps conv + proposals + fused pool + decode. The second program
+    of the split step (see EvalConfig.split_video_step)."""
+    fused_maps = model.apply(params, f_t, f_tau, method=DnT.fused_psmaps)
+    return _detect_and_track_fused(cfg, anchors, f_t, fused_maps, im_hw,
+                                   scale)
+
+
+def _post_trunk_unfused(cfg: Config, model: DnT, anchors, params, f_t, f_tau,
+                        im_hw, scale) -> PairOutputs:
+    track_maps = model.apply(params, f_t, f_tau, method=DnT.track_psmaps)
+    return _detect_and_track(cfg, anchors, f_t, track_maps, im_hw, scale)
+
+
 def make_pair_step(cfg: Config, model: DnT, batch: int = 4):
-    """jitted (params, pairs (B,2,H,W,3), im_hw (2,), scale) -> PairOutputs.
+    """(params, pairs (B,2,H,W,3), im_hw (2,), scale) -> PairOutputs.
 
     Detection post-processing (proposal NMS, PSRoI heads, per-class decode)
     is vmapped over the whole pair batch — one batched suppression scan
     instead of B sequential ones.
+
+    With cfg.eval.split_video_step (default) this is TWO jitted programs —
+    trunk, then correlation+heads+decode on the trunk's device-resident
+    outputs — because XLA compiles the correlation ~2.5x slower when it
+    shares a program with the backbone (BASELINE.md round 5). Both dispatches
+    are async, so callers' dispatch-ahead pipelines behave as before.
     """
     h, w = cfg.input.canvas_height, cfg.input.canvas_width
     anchors = jnp.asarray(grid_anchors_for(cfg.model.anchors, h // 16, w // 16))
-    return jax.jit(functools.partial(_pair_forward, cfg, model, anchors))
+    if not cfg.eval.split_video_step:
+        return jax.jit(functools.partial(_pair_forward, cfg, model, anchors))
+
+    fused = cfg.model.roi.pooling_mode == "psroi"
+    trunk = DnT.frame_trunk if fused else DnT.frame_features
+    post = _post_trunk_fused if fused else _post_trunk_unfused
+
+    @jax.jit
+    def trunk_step(params, pairs, im_hw):
+        pairs = normalize_device_images(pairs, im_hw, cfg.input.pixel_means)
+        flat = pairs.reshape(-1, *pairs.shape[2:])
+        feats = model.apply(params, flat, method=trunk)
+        f_t = jax.tree.map(lambda x: x[0::2], feats)
+        f_tau = jax.tree.map(lambda x: x[1::2], feats)
+        return f_t, f_tau
+
+    @jax.jit
+    def post_step(params, f_t, f_tau, im_hw, scale):
+        return post(cfg, model, anchors, params, f_t, f_tau, im_hw, scale)
+
+    def step(params, pairs, im_hw, scale):
+        f_t, f_tau = trunk_step(params, pairs, im_hw)
+        return post_step(params, f_t, f_tau, im_hw, scale)
+
+    return step
 
 
 def make_video_step(cfg: Config, model: DnT, frames_per_chunk: int = 33):
@@ -202,24 +248,49 @@ def make_video_step(cfg: Config, model: DnT, frames_per_chunk: int = 33):
     assert frames_per_chunk >= 2, "a chunk needs at least one frame pair"
 
     fused = cfg.model.roi.pooling_mode == "psroi"
+    trunk = DnT.frame_trunk if fused else DnT.frame_features
+    post = _post_trunk_fused if fused else _post_trunk_unfused
+
+    if not cfg.eval.split_video_step:
+        @jax.jit
+        def step(params, frames, im_hw, scale):
+            assert frames.shape[0] == frames_per_chunk, (
+                f"expected chunks of {frames_per_chunk} frames, "
+                f"got {frames.shape}")
+            frames = normalize_device_images(frames, im_hw,
+                                             cfg.input.pixel_means)
+            feats = model.apply(params, frames, method=trunk)
+            f_t = jax.tree.map(lambda x: x[:-1], feats)
+            f_tau = jax.tree.map(lambda x: x[1:], feats)
+            return post(cfg, model, anchors, params, f_t, f_tau, im_hw,
+                        scale)
+
+        step.frames_per_chunk = frames_per_chunk
+        return step
+
+    # Two-dispatch split (EvalConfig.split_video_step): the correlation
+    # compiles ~2.5x slower when it shares a program with the backbone
+    # (BASELINE.md round 5 — invariant to dtype/copies/barriers), so the
+    # trunk and the correlation+heads+decode run as separate programs with
+    # the features staying device-resident between them. Both dispatches are
+    # async; the caller's dispatch-ahead queue pipelines them as one unit.
+    @jax.jit
+    def trunk_step(params, frames, im_hw):
+        assert frames.shape[0] == frames_per_chunk, (
+            f"expected chunks of {frames_per_chunk} frames, "
+            f"got {frames.shape}")
+        frames = normalize_device_images(frames, im_hw, cfg.input.pixel_means)
+        return model.apply(params, frames, method=trunk)
 
     @jax.jit
-    def step(params, frames, im_hw, scale):
-        assert frames.shape[0] == frames_per_chunk, (
-            f"expected chunks of {frames_per_chunk} frames, got {frames.shape}")
-        frames = normalize_device_images(frames, im_hw, cfg.input.pixel_means)
-        trunk = DnT.frame_trunk if fused else DnT.frame_features
-        feats = model.apply(params, frames, method=trunk)
+    def post_step(params, feats, im_hw, scale):
         f_t = jax.tree.map(lambda x: x[:-1], feats)
         f_tau = jax.tree.map(lambda x: x[1:], feats)
-        if not fused:
-            track_maps = model.apply(params, f_t, f_tau,
-                                     method=DnT.track_psmaps)
-            return _detect_and_track(cfg, anchors, f_t, track_maps, im_hw,
-                                     scale)
-        fused_maps = model.apply(params, f_t, f_tau, method=DnT.fused_psmaps)
-        return _detect_and_track_fused(cfg, anchors, f_t, fused_maps, im_hw,
-                                       scale)
+        return post(cfg, model, anchors, params, f_t, f_tau, im_hw, scale)
+
+    def step(params, frames, im_hw, scale):
+        return post_step(params, trunk_step(params, frames, im_hw), im_hw,
+                         scale)
 
     step.frames_per_chunk = frames_per_chunk  # consumed by evaluate_snippet_video
     return step

@@ -42,6 +42,32 @@ def test_pair_step_shapes(setup):
         assert b[:, 2].max() <= 47.0 and b[:, 3].max() <= 31.0
 
 
+def test_split_step_matches_single_program(setup):
+    """EvalConfig.split_video_step (two-dispatch trunk|post split, the
+    round-5 TPU scheduling fix) must be bit-identical to the one-program
+    form for BOTH the video step and the pair step: the split only moves
+    the jit boundary, never the math."""
+    from dtt.eval.inference import make_video_step
+    cfg, model, params = setup
+    assert cfg.eval.split_video_step          # default exercises the split
+    cfg_one = cfg.replace(eval=cfg.eval.replace(split_video_step=False))
+    frames = jnp.asarray(np.random.RandomState(5)
+                         .randn(5, 64, 96, 3).astype(np.float32))
+    hw = jnp.asarray([64.0, 96.0])
+    for mk, inp in ((make_video_step, frames),
+                    (make_pair_step, frames[:4].reshape(2, 2, 64, 96, 3))):
+        split_out = mk(cfg, model, 5)(params, inp, hw, jnp.float32(1.0)) \
+            if mk is make_video_step else mk(cfg, model)(
+                params, inp, hw, jnp.float32(1.0))
+        one_out = mk(cfg_one, model, 5)(params, inp, hw, jnp.float32(1.0)) \
+            if mk is make_video_step else mk(cfg_one, model)(
+                params, inp, hw, jnp.float32(1.0))
+        for a, b, name in zip(split_out, one_out,
+                              ("boxes", "scores", "valid", "tracked")):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=name)
+
+
 def test_single_frame_step(setup):
     """Driver config #1: single-frame R-FCN detection."""
     cfg, model, params = setup

@@ -106,6 +106,21 @@ def main():
         cf = feats.corr_feats
         return corr3((cf["c3"], cf["c4"], cf["c5"]), impl="mm") + c * 1e-9
 
+    def i10(c, frames, sc3, sc4, sc5):
+        # production dependency, but operands CAST TO F32 before correlation
+        # (i5's accidental discovery: its eps multiply promoted the staged
+        # bf16 arrays to f32, and the f32 kernel ran ~2x faster in-program)
+        feats = trunk_feats(c, frames)
+        cp = tuple(feats.corr_feats[k].astype(jnp.float32)
+                   for k in ("c3", "c4", "c5"))
+        return corr3(cp) + c * 1e-9
+
+    def i11(c, frames, sc3, sc4, sc5):
+        feats = trunk_feats(c, frames)
+        cp = tuple(feats.corr_feats[k].astype(jnp.float32)
+                   for k in ("c3", "c4", "c5"))
+        return corr3(cp, impl="mm") + c * 1e-9
+
     def one_scale(key_name):
         def fn(c, frames, sc3, sc4, sc5):
             feats = trunk_feats(c, frames)
@@ -131,6 +146,10 @@ def main():
             ("I8 trunk + corr(trunk c4 only)", one_scale("c4"),
              (frames, sc3, sc4, sc5)),
             ("I9 trunk + corr(trunk c5 only)", one_scale("c5"),
+             (frames, sc3, sc4, sc5)),
+            ("I10 trunk + corr(f32(trunk))", i10,
+             (frames, sc3, sc4, sc5)),
+            ("I11 trunk + corr(f32(trunk)) impl=mm", i11,
              (frames, sc3, sc4, sc5))):
         if args.only and args.only not in name:
             continue

@@ -185,11 +185,23 @@ if args.sweep:
         fr = jnp.asarray(rng.randn(f_n, h, w, 3).astype(np.float32))
         step = make_video_step(cfg, model, f_n)
 
-        @jax.jit
-        def infer(params, fr):
-            out = step(params, fr, im_hw, jnp.float32(1.0))
-            return (jnp.sum(out.scores) + jnp.sum(out.boxes) * 1e-6
-                    + jnp.sum(out.tracked) * 1e-6)
+        reduce_out = jax.jit(lambda out: (
+            jnp.sum(out.scores) + jnp.sum(out.boxes) * 1e-6
+            + jnp.sum(out.tracked) * 1e-6))
+
+        if cfg.eval.split_video_step:
+            # the split step is TWO dispatches — re-jitting it would inline
+            # both back into one program and undo the split; time it as the
+            # production pipeline runs it (async dispatches + one forced
+            # scalar through a tiny jitted reducer)
+            def infer(params, fr):
+                return reduce_out(step(params, fr, im_hw, jnp.float32(1.0)))
+        else:
+            @jax.jit
+            def infer(params, fr):
+                out = step(params, fr, im_hw, jnp.float32(1.0))
+                return (jnp.sum(out.scores) + jnp.sum(out.boxes) * 1e-6
+                        + jnp.sum(out.tracked) * 1e-6)
 
         float(infer(params, fr))
         lat = sync_latency()
@@ -202,6 +214,14 @@ if args.sweep:
             times.append(time.perf_counter() - t0)
         times.sort()
         dt = max(times[len(times) // 4] - lat, 1e-9)
+        if cfg.eval.split_video_step:
+            # a two-dispatch step cannot be chained into one fori_loop
+            # without undoing the split — forced-fetch is the honest number
+            print(f"chunk {f_n:3d} frames [{args.impl:9s}] split: "
+                  f"{dt * 1e3:7.1f} ms forced ({(f_n - 1) / dt:6.1f} pairs/s)",
+                  flush=True)
+            continue
+
         # chained form of the SAME step: device-only time with the per-call
         # dispatch/fetch overhead structurally removed — the difference vs
         # the forced-call time above IS that overhead
