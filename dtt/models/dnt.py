@@ -196,6 +196,10 @@ class DnT(nn.Module):
         out = out.at[..., dc + db:].add(track.reshape(b, hh, ww, k2, dt))
         bias = jnp.concatenate([cb_.reshape(k2, dc), bb_.reshape(k2, db),
                                 tb_.reshape(k2, dt)], axis=-1).reshape(k2 * d)
+        # NOT worth casting to the pool's bf16 here for the direct path:
+        # measured identical (P0 23.80 vs 23.85 ms, round 5) — XLA already
+        # fuses detect_track_fused's downstream cast into this epilogue, so
+        # the f32 map never materializes at f32 width.
         return out.reshape(b, hh, ww, k2 * d) + bias
 
     def frame_trunk(self, images: jnp.ndarray) -> FrameFeats:
