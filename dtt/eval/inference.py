@@ -519,11 +519,19 @@ def evaluate_snippet(cfg: Config, pair_step, params, frames: np.ndarray,
 
 
 def interpolate_tubes(tubes, boxes: np.ndarray,
-                      eval_ts: list[int], t_total: int):
+                      eval_ts: list[int], t_total: int,
+                      tau: int | None = None):
     """Fill skipped frames of a τ-strided evaluation by linear interpolation
     along each tube (D&T paper §4: strided tubes are interpolated to every
     frame). Returns flat detection arrays over ALL t_total frames:
       (ts (N,), cls (N,) 0-based, scores (N,), boxes (N, 4)).
+
+    With `tau` given, a tube's last keyframe extends through at most τ-1
+    trailing frames — exactly the gap the stride skipped. The unbounded
+    extension ("to the end of the snippet") amplified every short-lived
+    false positive ~T/τ-fold on hard content: a flickering 1-frame
+    distractor detected at one keyframe emitted detections for EVERY
+    remaining frame (round-5 hard-bench τ=2 collapse, BASELINE.md).
     """
     det_idx = np.asarray(tubes.det_idx)      # (C, K, T')
     tube_ok = np.asarray(tubes.tube_valid)   # (C, K)
@@ -542,10 +550,10 @@ def interpolate_tubes(tubes, boxes: np.ndarray,
         kb = boxes[c, on, j[on]]                            # (Tk, 4)
         ks = rescored[c, on, j[on]].astype(np.float64)      # (Tk,)
         # piecewise-linear interpolation between consecutive keyframes,
-        # then the last keyframe extends through every trailing frame
-        # (frames after the final stride-τ keyframe otherwise get no
-        # detections)
-        t = np.arange(kt[0], t_total)
+        # then the last keyframe extends through the ≤ τ-1 trailing frames
+        # the stride skipped (they'd otherwise get no detections)
+        t_end = t_total if tau is None else min(kt[-1] + tau, t_total)
+        t = np.arange(kt[0], t_end)
         sc = np.interp(t, kt, ks)
         bx = np.stack([np.interp(t, kt, kb[:, d]) for d in range(4)], axis=1)
         ts_out.append(t)

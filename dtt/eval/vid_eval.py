@@ -37,6 +37,32 @@ def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.where(union > 0, inter / union, 0.0)
 
 
+def nms_frame_dets(fids: np.ndarray, scores: np.ndarray, boxes: np.ndarray,
+                   thresh: float) -> np.ndarray:
+    """Boolean keep-mask: greedy per-frame NMS over flat detection arrays.
+
+    τ-strided tube interpolation emits one detection per tube per frame, so
+    parallel tubes over one object reintroduce exactly the spatial
+    duplicates the per-frame NMS removed at the keyframes — each duplicate
+    is a full-score false positive at EVERY interpolated frame (round-5
+    diagnosis: clean 16-frame τ=2 linked mAP 0.79 with duplicate tubes
+    rescored ~1.0 vs 1.0 at τ=1). Host-side and tiny: counts per
+    class-frame are ≤ max_tubes + orphan fallbacks.
+    """
+    keep = np.zeros(fids.shape[0], bool)
+    for f in np.unique(fids):
+        idx = np.nonzero(fids == f)[0]
+        idx = idx[np.argsort(-scores[idx], kind="stable")]
+        iou = _iou_matrix(boxes[idx], boxes[idx])
+        alive = np.ones(idx.size, bool)
+        for i in range(idx.size):
+            if not alive[i]:
+                continue
+            keep[idx[i]] = True
+            alive[i + 1:] &= iou[i, i + 1:] <= thresh
+    return keep
+
+
 def average_precision(recall: np.ndarray, precision: np.ndarray) -> float:
     """All-points interpolated AP (VOC 2010+ / ImageNet devkit)."""
     mrec = np.concatenate([[0.0], recall, [1.0]])

@@ -203,28 +203,36 @@ def process_strided_snippet(cfg, num_classes, frame_uid, t_len, eval_ts,
     the reference's per-detection all_boxes appends (ref: test_net.py) cost
     ~600k Python iterations per 1000-frame snippet at flagship settings."""
     from dtt.eval.inference import interpolate_tubes, link_snippet
+    from dtt.eval.vid_eval import nms_frame_dets
     valid = cap_frame_dets(scores, valid, cfg.eval.max_dets_per_frame)
     _, tubes = link_snippet(cfg, boxes, scores, tracked, valid)
-    ts, cls0, sc, bx = interpolate_tubes(tubes, boxes, eval_ts, t_len)
+    tau = int(eval_ts[1] - eval_ts[0]) if len(eval_ts) > 1 else 1
+    ts, cls0, sc, bx = interpolate_tubes(tubes, boxes, eval_ts, t_len,
+                                         tau=tau)
     keep = sc > cfg.eval.score_thresh
-    for ci in np.unique(cls0[keep]):
-        sel = keep & (cls0 == ci)
-        all_dets[int(ci) + 1].append((frame_uid + ts[sel], sc[sel], bx[sel]))
     in_tube = np.asarray(tubes.det_in_tube)                  # (C-1, T', N)
     mask = valid & (scores > cfg.eval.score_thresh)
     eval_ts = np.asarray(eval_ts)
     for c in range(1, num_classes):
         ti, m = np.nonzero(mask[c - 1])
-        if ti.size == 0:
+        if raw_dets is not None and ti.size:
+            raw_dets[c].append((frame_uid + eval_ts[ti],
+                                scores[c - 1][ti, m], boxes[c - 1][ti, m]))
+        # union of interpolated tube detections and unclaimed (orphan) raw
+        # keyframe detections, then PER-FRAME NMS: interpolation emits one
+        # detection per tube per frame, so parallel tubes on one object
+        # reintroduce the spatial duplicates keyframe NMS removed — each a
+        # full-score FP at every interpolated frame (see nms_frame_dets)
+        sel = keep & (cls0 == c - 1)
+        orphan = (~in_tube[c - 1][ti, m] if ti.size
+                  else np.zeros(0, bool))
+        t_u = np.concatenate([ts[sel], eval_ts[ti][orphan]])
+        if t_u.size == 0:
             continue
-        det = (frame_uid + eval_ts[ti], scores[c - 1][ti, m],
-               boxes[c - 1][ti, m])
-        if raw_dets is not None:
-            raw_dets[c].append(det)
-        orphan = ~in_tube[c - 1][ti, m]
-        if orphan.any():
-            all_dets[c].append((det[0][orphan], det[1][orphan],
-                                det[2][orphan]))
+        s_u = np.concatenate([sc[sel], scores[c - 1][ti, m][orphan]])
+        b_u = np.concatenate([bx[sel], boxes[c - 1][ti, m][orphan]], axis=0)
+        km = nms_frame_dets(t_u, s_u, b_u, cfg.eval.nms_thresh)
+        all_dets[c].append((frame_uid + t_u[km], s_u[km], b_u[km]))
 
 
 def main():

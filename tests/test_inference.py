@@ -122,6 +122,29 @@ def test_interpolate_tubes_fills_skipped_frames():
     np.testing.assert_allclose(bx[ts == 2][0], [10, 0, 20, 10])
 
 
+def test_interpolate_tubes_bounded_trailing_extension():
+    """With tau given, a tube's last keyframe extends <= tau-1 trailing
+    frames (the stride gap), NOT to the snippet end: unbounded extension
+    turned every 1-keyframe false-positive tube into T/tau detections
+    (round-5 hard-bench tau=2 collapse)."""
+    from types import SimpleNamespace
+    from dtt.eval.inference import interpolate_tubes
+    # one tube with a SINGLE keyframe at t=2 of a 16-frame snippet
+    det_idx = np.zeros((1, 1, 8), np.int64)
+    on = np.zeros((1, 8, 1), bool)
+    on[0, 1, 0] = True                       # eval_ts index 1 -> frame 2
+    tubes = SimpleNamespace(
+        det_idx=det_idx, tube_valid=np.array([[True]]), det_in_tube=on,
+        rescored=np.full((1, 8, 1), 0.9, np.float32))
+    boxes = np.tile(np.asarray([0, 0, 10, 10], np.float32), (1, 8, 1, 1))
+    eval_ts = list(range(0, 16, 2))
+    ts, _, _, _ = interpolate_tubes(tubes, boxes, eval_ts, 16, tau=2)
+    assert sorted(ts.tolist()) == [2, 3]     # keyframe + one skipped frame
+    # without tau (backward-compat) the old unbounded behavior remains
+    ts_old, *_ = interpolate_tubes(tubes, boxes, eval_ts, 16)
+    assert sorted(ts_old.tolist()) == list(range(2, 16))
+
+
 def test_video_step_matches_pair_step(setup):
     """Feature-sharing video path must equal the pair path exactly (τ=1)."""
     from dtt.eval.inference import evaluate_snippet_video, make_video_step

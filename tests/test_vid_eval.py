@@ -193,3 +193,20 @@ def test_devkit_threshold_is_per_matched_gt():
     dets = [(0, 0.9, [100, 100, 199, 139])]
     ap, _, _ = eval_class(dets, gts, protocol="devkit")
     assert ap == 0.0
+
+
+def test_nms_frame_dets_dedups_parallel_tube_duplicates():
+    """Per-frame greedy NMS over flat detection arrays: duplicates from
+    parallel interpolated tubes are suppressed per frame, winners kept by
+    score; different frames never suppress each other."""
+    from dtt.eval.vid_eval import nms_frame_dets
+    fids = np.array([0, 0, 0, 1, 1])
+    scores = np.array([0.9, 0.8, 0.5, 0.7, 0.6])
+    boxes = np.array([[0, 0, 10, 10],     # f0 winner
+                      [1, 0, 11, 10],     # f0 duplicate of winner -> drop
+                      [50, 50, 60, 60],   # f0 distinct -> keep
+                      [0, 0, 10, 10],     # f1 winner (same box, other frame)
+                      [1, 0, 11, 10]],    # f1 duplicate -> drop
+                     np.float32)
+    keep = nms_frame_dets(fids, scores, boxes, thresh=0.3)
+    assert keep.tolist() == [True, False, True, True, False]
