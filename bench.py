@@ -61,11 +61,19 @@ def main():
     im_hw = jnp.asarray([h, w], jnp.float32)
     step = make_video_step(cfg, model, CHUNK)
 
+    # step is TWO jitted programs (EvalConfig.split_video_step: the
+    # correlation compiles ~2.5x slower sharing a program with the backbone,
+    # BASELINE.md round 5). Do NOT wrap it in an outer jit — that re-inlines
+    # both into the slow single program. The scalar force is its own tiny
+    # program over the device-resident outputs (full-tensor reductions, so
+    # nothing can be sliced away).
     @jax.jit
-    def infer(params, frames):
-        out = step(params, frames, im_hw, jnp.float32(1.0))
+    def force(out):
         return (jnp.sum(out.scores) + jnp.sum(out.boxes) * 1e-6
                 + jnp.sum(out.tracked) * 1e-6)
+
+    def infer(params, frames):
+        return force(step(params, frames, im_hw, jnp.float32(1.0)))
 
     float(infer(params, frames))  # compile + warm
     lat = sync_latency()
