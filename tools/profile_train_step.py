@@ -52,6 +52,9 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--only", default=None)
+    p.add_argument("--grad-stages", action="store_true",
+                   help="also time grad() of each cumulative stage "
+                        "(decomposes the backward)")
     args = p.parse_args()
 
     cfg = Config()
@@ -167,14 +170,27 @@ def main():
         return sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves
                    ) * 1e-12
 
+    def grad_stage(c, params, dev, upto: int):
+        """fwd+bwd through the cumulative stage: the G-deltas price each
+        stage's BACKWARD (G5-G0 vs F5-F0 separates bwd cost per stage)."""
+        g = jax.grad(lambda p: stage_fwd(c, p, dev, upto))(params)
+        leaves = jax.tree.leaves(g)
+        return sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves
+                   ) * 1e-12
+
     probes = [(f"F{i}", (lambda i: lambda c, p, d: stage_fwd(c, p, d, i))(i))
               for i in range(5)]
     probes += [("F5 full batch_loss fwd", full_loss),
                ("G5 fwd+bwd (grad)", grad_full)]
-    names = ("F0 features(2B frames)", "F1 + track maps",
+    names = ["F0 features(2B frames)", "F1 + track maps",
              "F2 + anchor tgts + rpn loss", "F3 + proposal NMS",
              "F4 + label_all_rois", "F5 full batch_loss fwd",
-             "G5 fwd+bwd (grad)")
+             "G5 fwd+bwd (grad)"]
+    if args.grad_stages:
+        probes += [
+            (f"G{i}", (lambda i: lambda c, p, d: grad_stage(c, p, d, i))(i))
+            for i in range(5)]
+        names += [f"G{i} fwd+bwd thru F{i}" for i in range(5)]
     print(f"train-step stage profile: batch {b} {h}x{w}", flush=True)
     for (tag, fn), name in zip(probes, names):
         if args.only and args.only not in name:
