@@ -95,6 +95,14 @@ class RoIConfig(_Replaceable):
     # (33-frame chunk, pool stage only): direct 12.3 ms, gather 26.5,
     # pallas_mm 49.7 — "direct" is the default (table in BASELINE.md).
     eval_pool_impl: str = "direct"
+    # Batched pooling implementation for the TRAINING loss (batch_loss):
+    # "direct" = interval-indicator MXU kernel + mirror matmul backward
+    # (psroi_pool_batched_direct_ad), pooling at the model compute dtype;
+    # "gather" = exact-f32 SAT gather whose transpose is a scatter-add —
+    # measured 22 ms fwd + 64.5 ms bwd of the 217 ms batch-8 train step
+    # (BASELINE.md round-5 train profile), which is why "direct" is the
+    # default. Loss formulation-parity tests pin "gather" (bit-exact).
+    train_pool_impl: str = "direct"
 
 
 @dataclass(frozen=True)

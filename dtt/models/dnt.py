@@ -286,14 +286,31 @@ def pool_vote(cfg: ModelConfig, maps, rois, spatial_scale: float,
     return pooled.mean(axis=(1, 2))
 
 
-def pool_vote_batched(cfg: ModelConfig, maps, rois, spatial_scale: float):
+def pool_vote_batched(cfg: ModelConfig, maps, rois, spatial_scale: float,
+                      impl: str = "gather"):
     """Frame-batched pool_vote: (B, H, W, ·), (B, N, 4) -> (B, N, D).
 
-    psroi mode uses the batch-folded flat gather (psroi_pool_batched) —
-    vmapping the per-frame form turns its gather multi-axis, the known slow
-    path on TPU; other pooling modes vmap their per-frame op.
+    psroi mode dispatches `impl`:
+    * "gather" — batch-folded flat SAT gather (psroi_pool_batched); exact
+      f32, differentiable via transpose-of-gather (scatter-add). vmapping
+      the per-frame form instead would turn the gather multi-axis, the
+      known slow path on TPU.
+    * "direct" — the SAT-free interval-indicator MXU kernel with the
+      mirror-image matmul backward (psroi_pool_batched_direct_ad), pooled
+      at the model compute dtype. The training path uses this
+      (cfg.roi.train_pool_impl): the gather form's scatter-add backward
+      was 64.5 ms of the 217 ms batch-8 train step (BASELINE.md round-5
+      train profile).
+    Other pooling modes vmap their per-frame op.
     """
     if cfg.roi.pooling_mode == "psroi":
+        if impl == "direct":
+            from dtt.ops.psroi import psroi_pool_batched_direct_ad
+            pooled = psroi_pool_batched_direct_ad(
+                maps.astype(jnp.dtype(cfg.dtype)), rois, spatial_scale,
+                cfg.roi.ps_grid)
+            return pooled.astype(jnp.float32).mean(axis=(2, 3))
+        assert impl == "gather", f"unknown batched psroi impl {impl!r}"
         return psroi_pool_batched(maps, rois, spatial_scale,
                                   cfg.roi.ps_grid).mean(axis=(2, 3))
     return jax.vmap(lambda m, r: pool_vote(cfg, m, r, spatial_scale)

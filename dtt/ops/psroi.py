@@ -476,6 +476,109 @@ def psroi_pool_batched_direct(features: jnp.ndarray, rois: jnp.ndarray,
     return out.astype(features.dtype)
 
 
+def _psroi_direct_bwd_kernel(r_ref,    # VMEM (1, 1, N, H)   row indicator
+                             c_ref,    # VMEM (1, 1, N, W)   col indicator
+                             g_ref,    # VMEM (1, 1, 1, N, D) ghat = g/area
+                             out_ref,  # VMEM (1, 1, H, D*W) dL/d(bin slab)
+                             *, w: int, d: int):
+    """Transpose of _psroi_direct_kernel — itself two MXU contractions.
+
+    d slab[y, (dd, x)] = Σ_n R[n, y] * ghat[n, dd] * C[n, x]: expand ghat
+    along x (constant 0/1 selection matmul, mirroring the forward's channel
+    reduce), mask with the repeated column indicator, then contract the RoI
+    axis against R on the MXU. This replaces the gather form's scatter-add
+    backward — the measured 64.5 ms of the batch-8 train step
+    (BASELINE.md round-5 train profile) — with dense matmul work.
+    """
+    dt = out_ref.dtype
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    g = g_ref[0, 0, 0]                                 # (N, D) f32
+    # selT[dd, i] = 1 iff i // w == dd  => (g @ selT)[n, dd*w + x] = g[n, dd]
+    sel_t = (jax.lax.broadcasted_iota(jnp.int32, (d, w * d), 0)
+             == jax.lax.broadcasted_iota(jnp.int32, (d, w * d), 1) // w)
+    gexp = jnp.dot(g.astype(dt), sel_t.astype(dt),
+                   preferred_element_type=jnp.float32,
+                   precision=prec)                     # (N, D*W)
+    m2 = gexp * pltpu.repeat(c_ref[0, 0], d, axis=1)   # (N, D*W)
+    dslab = jax.lax.dot_general(                       # contract N: (H, D*W)
+        r_ref[0, 0].astype(dt), m2.astype(dt),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    out_ref[0, 0] = dslab.astype(dt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def psroi_pool_batched_direct_ad(features, rois, spatial_scale: float,
+                                 group_size: int):
+    """Differentiable psroi_pool_batched_direct (training form).
+
+    Forward is the interval-indicator MXU kernel unchanged; backward is its
+    mirror-image bilinear contraction (_psroi_direct_bwd_kernel) instead of
+    relying on AD — the direct forward is a Pallas kernel with no JVP rule,
+    and the gather form's transpose (scatter-add) was the train-step
+    bottleneck it replaces. RoIs get zero gradient like every other impl
+    (bin bounds are integer-valued, piecewise constant in the box).
+    """
+    return psroi_pool_batched_direct(features, rois, spatial_scale,
+                                     group_size)
+
+
+def _direct_ad_fwd(features, rois, spatial_scale, group_size):
+    out = psroi_pool_batched_direct(features, rois, spatial_scale, group_size)
+    # zero-size carrier for the feature shape/dtype (custom_vjp residuals
+    # must be jax types; the maps themselves are NOT needed for the bwd)
+    ref = jnp.zeros((0,) + features.shape[1:], features.dtype)
+    return out, (rois, ref)
+
+
+def _direct_ad_bwd(spatial_scale, group_size, res, g):
+    rois, ref = res
+    h, w, c = ref.shape[1:]
+    fdtype = ref.dtype
+    b = rois.shape[0]
+    k = group_size
+    d = c // (k * k)
+    n = rois.shape[1]
+    hs, he, ws, we = jax.vmap(
+        lambda r: _roi_bounds(r, spatial_scale, k, h, w))(rois)
+    r, cind = jax.vmap(
+        lambda a, bb, c0, c1: _interval_indicators(a, bb, c0, c1, h, w)
+    )(hs, he, ws, we)
+    r = r.transpose(0, 2, 1, 3)                        # (B, k, N, H)
+    cind = cind.transpose(0, 2, 1, 3)                  # (B, k, N, W)
+    area = jax.vmap(_bin_areas)(hs, he, ws, we)[..., None]  # (B, N, k, k, 1)
+    ghat = jnp.where(area > 0,
+                     g.astype(jnp.float32) / jnp.maximum(area, 1.0), 0.0)
+    ghat = ghat.transpose(0, 2, 3, 1, 4)               # (B, k, k, N, D)
+
+    dslabs = pl.pallas_call(
+        functools.partial(_psroi_direct_bwd_kernel, w=w, d=d),
+        grid=(b, k, k),
+        in_specs=[
+            pl.BlockSpec((1, 1, n, h), lambda bi, ph, pw: (bi, ph, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, w), lambda bi, ph, pw: (bi, pw, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, n, d),
+                         lambda bi, ph, pw: (bi, ph, pw, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, h, d * w),
+                               lambda bi, ph, pw: (bi, ph * k + pw, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, k * k, h, d * w), fdtype),
+        interpret=_use_interpret(),
+    )(r, cind, ghat)
+    # inverse of the forward's slab transpose: (B, k^2, H, (d, x)) -> NHWC
+    df = (dslabs.reshape(b, k * k, h, d, w).transpose(0, 2, 4, 1, 3)
+          .reshape(b, h, w, c))
+    return df, jnp.zeros_like(rois)
+
+
+psroi_pool_batched_direct_ad.defvjp(_direct_ad_fwd, _direct_ad_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernel
 # ---------------------------------------------------------------------------

@@ -277,11 +277,15 @@ def batch_loss(cfg: Config, model: DnT, params, anchors, batch, key
                 gt_valid[:, f], gt_boxes[:, other], gt_valid[:, other],
                 keys4[:, 2 * f + 1])
 
-        # batch-folded pools — OUTSIDE the vmap (the whole point)
+        # batch-folded pools — OUTSIDE the vmap (the whole point); the
+        # train_pool_impl default is the direct MXU kernel with the matmul
+        # backward (the gather form's scatter-add bwd was 64.5 ms of the
+        # 217 ms batch-8 step — BASELINE.md round-5 train profile)
+        pimpl = mcfg.roi.train_pool_impl
         cls_score = pool_vote_batched(mcfg, feats_f.cls_maps, tgts.rois,
-                                      spatial_scale)
+                                      spatial_scale, impl=pimpl)
         bbox_pred = pool_vote_batched(mcfg, feats_f.bbox_maps, tgts.rois,
-                                      spatial_scale)
+                                      spatial_scale, impl=pimpl)
         l_rcls, l_rbox, l_fg_ce = jax.vmap(
             lambda cs, bp, t: _rfcn_losses(cfg, cs, bp, t))(
             cls_score, bbox_pred, tgts)
@@ -292,7 +296,7 @@ def batch_loss(cfg: Config, model: DnT, params, anchors, batch, key
 
         if f == 0:  # tracking head regresses frame-t RoIs to frame-τ gt
             trk_pred = pool_vote_batched(mcfg, track_maps, tgts.rois,
-                                         spatial_scale)
+                                         spatial_scale, impl=pimpl)
             tl = jnp.sum(smooth_l1(trk_pred, tgts.track_targets, sigma=1.0),
                          axis=-1) * tgts.track_weights
             tw = jnp.maximum(jnp.sum(tgts.track_weights, axis=-1), 1.0)

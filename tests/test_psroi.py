@@ -202,3 +202,45 @@ def test_batched_direct_empty_and_edge_bins(rng):
                                     1 / 16.0, k)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_batched_direct_ad_gradient_matches_gather(rng):
+    """psroi_pool_batched_direct_ad's mirror matmul backward equals AD of
+    the exact gather form (both f32): the custom_vjp is a hand-derived
+    transpose, so pin it to the known-correct transpose-of-gather. A
+    nonlinear readout makes the cotangent nonuniform per (roi, bin, d)."""
+    from dtt.ops.psroi import psroi_pool_batched, psroi_pool_batched_direct_ad
+    b, h, w, k, d, n = 2, 10, 14, 3, 4, 5
+    feats = rng.randn(b, h, w, d * k * k).astype(np.float32)
+    rois = np.stack([
+        rng.uniform(0, 120, (b, n)), rng.uniform(0, 80, (b, n)),
+        rng.uniform(120, 220, (b, n)), rng.uniform(80, 155, (b, n)),
+    ], axis=2).astype(np.float32)
+    # include a degenerate roi: empty bins must backprop exact zeros
+    rois[0, 0] = [-40.0, -40.0, -20.0, -20.0]
+
+    def loss(pool_fn, f):
+        return jnp.sum(jnp.sin(pool_fn(f, jnp.asarray(rois), 1 / 16.0, k)))
+
+    v1, g1 = jax.value_and_grad(
+        lambda f: loss(psroi_pool_batched_direct_ad, f))(jnp.asarray(feats))
+    v2, g2 = jax.value_and_grad(
+        lambda f: loss(psroi_pool_batched, f))(jnp.asarray(feats))
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_batched_direct_ad_zero_roi_gradient(rng):
+    """RoIs take zero gradient from the pool (integer bin bounds), matching
+    every other impl."""
+    from dtt.ops.psroi import psroi_pool_batched_direct_ad
+    b, h, w, k, d, n = 1, 8, 8, 2, 3, 4
+    feats = rng.randn(b, h, w, d * k * k).astype(np.float32)
+    rois = np.stack([
+        rng.uniform(0, 60, (b, n)), rng.uniform(0, 60, (b, n)),
+        rng.uniform(60, 120, (b, n)), rng.uniform(60, 120, (b, n)),
+    ], axis=2).astype(np.float32)
+    g = jax.grad(lambda r: jnp.sum(psroi_pool_batched_direct_ad(
+        jnp.asarray(feats), r, 1 / 16.0, k)))(jnp.asarray(rois))
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
