@@ -79,6 +79,39 @@ def correlation_mm(f1: jnp.ndarray, f2: jnp.ndarray,
     return (out / jnp.float32(c)).astype(f1.dtype)
 
 
+def correlation_mm_diag(f1: jnp.ndarray, f2: jnp.ndarray,
+                        max_displacement: int = 8, stride: int = 2
+                        ) -> jnp.ndarray:
+    """Banded-matmul correlation with STRIDED-SLICE diagonal extraction.
+
+    Same per-dy MXU band as correlation_mm, but the horizontal-displacement
+    diagonals are read out with strided slices instead of the 0/1 selector
+    contraction: band[y, x, x + dx + d] flattens to index x*(V+1) + (dx+d)
+    of band.reshape(H, W*V) — constant stride V+1, one lax.slice per dx.
+    The selector einsum was the mm form's cost center (a (W,V)x(V,J)
+    per-row contraction at HIGHEST precision); a strided slice moves no
+    FLOPs at all.
+    """
+    h, w, c = f1.shape
+    d = max_displacement
+    offs = _offsets(d, stride)
+    v = w + 2 * d
+    f2p = jnp.pad(f2, ((d, d), (d, d), (0, 0)))
+    outs = []
+    for dy in offs:
+        b = jax.lax.slice(f2p, (d + dy, 0, 0), (d + dy + h, v, c))
+        band = jnp.einsum("ywc,yvc->ywv", f1, b,
+                          preferred_element_type=jnp.float32)  # (H, W, V)
+        flat = band.reshape(h, w * v)
+        for dx in offs:
+            k = dx + d
+            outs.append(jax.lax.slice(flat, (0, k),
+                                      (h, k + (w - 1) * (v + 1) + 1),
+                                      (1, v + 1)))             # (H, W)
+    out = jnp.stack(outs, axis=-1)                             # dy-major
+    return (out / jnp.float32(c)).astype(f1.dtype)
+
+
 def correlation_xla(f1: jnp.ndarray, f2: jnp.ndarray,
                     max_displacement: int = 8, stride: int = 2) -> jnp.ndarray:
     """Shifted multiply-reduce correlation. (H, W, C) x2 -> (H, W, D^2)."""
@@ -338,6 +371,8 @@ def correlation(f1, f2, max_displacement: int = 8, stride: int = 2,
         return correlation_xla(f1, f2, max_displacement, stride)
     if impl == "mm":
         return correlation_mm(f1, f2, max_displacement, stride)
+    if impl == "mm_diag":
+        return correlation_mm_diag(f1, f2, max_displacement, stride)
     if impl == "pallas":
         return correlation_pallas(f1, f2, max_displacement, stride)
     if impl == "pallas_mm":

@@ -202,3 +202,15 @@ def test_auto_row_block_production_shapes():
     # trace time instead of as an opaque Mosaic VMEM error
     with pytest.raises(ValueError, match="VMEM"):
         _auto_row_block(512, 1024, 2048, 81, 8, 4)
+
+
+@pytest.mark.parametrize("d,s", [(2, 1), (4, 2), (8, 2)])
+def test_mm_diag_matches_oracle(feats, d, s):
+    """Strided-slice diagonal extraction equals the selector-einsum band
+    readout (and hence the oracle)."""
+    from dtt.ops.correlation import correlation_mm_diag
+    f1, f2 = feats
+    want = np_correlation(f1, f2, d, s)
+    got = np.asarray(correlation_mm_diag(jnp.asarray(f1), jnp.asarray(f2),
+                                         d, s))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
